@@ -1,0 +1,35 @@
+"""Test bootstrap: force an 8-device virtual CPU mesh before JAX initializes.
+
+Multi-chip sharding is validated on a host-platform mesh
+(``--xla_force_host_platform_device_count=8``) because only one real TPU chip
+is reachable in this environment; benches run on the real chip separately.
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+# The axon TPU plugin (sitecustomize) overrides jax_platforms at import; force
+# CPU back for hermetic, multi-device tests.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_threefry_partitionable", True)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def devices():
+    devs = jax.devices()
+    assert len(devs) == 8, f"expected 8 virtual CPU devices, got {devs}"
+    return devs
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(0)
