@@ -1,0 +1,3 @@
+from bifold_tpu.env.action import DUMMY_PICK, Action
+
+__all__ = ["Action", "DUMMY_PICK"]

@@ -1,0 +1,221 @@
+"""Shared Flax building blocks: attention, MLP, pre-norm transformer, pos embeds.
+
+TPU-native counterparts of /root/reference/bifold/models/{transformer,modules}.py.
+All matmuls run in a configurable compute dtype (bfloat16 by default upstream)
+with float32 params and float32 softmax/LayerNorm accumulation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from bifold_tpu.ops.attention import dot_product_attention
+
+__all__ = [
+    "MultiHeadAttention",
+    "FeedForward",
+    "TransformerBlock",
+    "Transformer",
+    "get_2d_sincos_pos_embed",
+    "normal_init",
+]
+
+# reference init_weights: normal(0, 0.02) for Linear/Embedding (models/utils.py:86-94)
+normal_init = nn.initializers.normal(stddev=0.02)
+
+
+class MultiHeadAttention(nn.Module):
+    """QKV attention with separate projections.
+
+    ``fused_qkv`` mirrors the reference fusion transformer's single
+    ``to_qkv`` (bias-free) projection (transformer.py:21); towers use
+    separate biased q/k/v. LoRA adapters can be enabled per-projection.
+    """
+
+    dim: int
+    heads: int
+    dim_head: Optional[int] = None
+    fused_qkv: bool = False
+    qkv_bias: bool = True
+    out_bias: bool = True
+    project_out: bool = True
+    causal: bool = False
+    dropout: float = 0.0
+    lora_rank: int = 0
+    lora_alpha: float = 1.0
+    lora_dropout: float = 0.0
+    lora_targets: tuple = ("q_proj", "v_proj")
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, key_mask=None, *, legacy_query_mask=None, deterministic=True,
+                 return_weights=False):
+        d_head = self.dim_head or self.dim // self.heads
+        inner = d_head * self.heads
+
+        def proj(feats, name):
+            if self.lora_rank > 0 and name in self.lora_targets:
+                from bifold_tpu.models.lora import LoRADense
+
+                return lambda y: LoRADense(
+                    features=feats, use_bias=self.qkv_bias, rank=self.lora_rank,
+                    alpha=self.lora_alpha, lora_dropout=self.lora_dropout,
+                    dtype=self.dtype, name=name,
+                )(y, deterministic=deterministic)
+            return nn.Dense(feats, use_bias=self.qkv_bias, dtype=self.dtype, name=name)
+
+        if self.fused_qkv:
+            qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = proj(inner, "q_proj")(x)
+            k = proj(inner, "k_proj")(x)
+            v = proj(inner, "v_proj")(x)
+
+        b, n, _ = x.shape
+        q = q.reshape(b, n, self.heads, d_head)
+        k = k.reshape(b, k.shape[1], self.heads, d_head)
+        v = v.reshape(b, v.shape[1], self.heads, d_head)
+
+        out = dot_product_attention(
+            q, k, v, key_mask=key_mask, legacy_query_mask=legacy_query_mask,
+            causal=self.causal, return_weights=return_weights,
+        )
+        weights = None
+        if return_weights:
+            out, weights = out
+        out = out.reshape(b, n, inner)
+        if self.dropout > 0:
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        if self.project_out:
+            out = nn.Dense(self.dim, use_bias=self.out_bias, dtype=self.dtype,
+                           name="out_proj")(out)
+            if self.dropout > 0:
+                out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return (out, weights) if return_weights else out
+
+
+class FeedForward(nn.Module):
+    """Linear -> act -> Linear (reference modules.py:18-30)."""
+
+    dim: int
+    hidden_dim: int
+    dropout: float = 0.0
+    activation: Callable = nn.gelu  # exact GELU, like torch nn.GELU default
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = self.activation(x)
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class TransformerBlock(nn.Module):
+    """Pre-norm residual block: x + attn(ln(x)); x + mlp(ln(x))."""
+
+    dim: int
+    heads: int
+    mlp_dim: int
+    dim_head: Optional[int] = None
+    fused_qkv: bool = True
+    causal: bool = False
+    dropout: float = 0.0
+    activation: Callable = nn.gelu
+    lora_rank: int = 0
+    lora_alpha: float = 1.0
+    lora_dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, key_mask=None, *, legacy_query_mask=None, deterministic=True):
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = MultiHeadAttention(
+            dim=self.dim,
+            heads=self.heads,
+            dim_head=self.dim_head,
+            fused_qkv=self.fused_qkv,
+            causal=self.causal,
+            dropout=self.dropout,
+            lora_rank=self.lora_rank,
+            lora_alpha=self.lora_alpha,
+            lora_dropout=self.lora_dropout,
+            dtype=self.dtype,
+            name="attn",
+        )(h, key_mask, legacy_query_mask=legacy_query_mask, deterministic=deterministic)
+        x = x + h
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = FeedForward(
+            dim=self.dim, hidden_dim=self.mlp_dim, dropout=self.dropout,
+            activation=self.activation, dtype=self.dtype, name="mlp",
+        )(h, deterministic=deterministic)
+        return x + h
+
+
+class Transformer(nn.Module):
+    """Stack of pre-norm blocks (reference transformer.py:45-64). ``remat``
+    wraps each block in jax.checkpoint to trade FLOPs for HBM."""
+
+    dim: int
+    depth: int
+    heads: int
+    mlp_dim: int
+    dim_head: Optional[int] = None
+    fused_qkv: bool = True
+    causal: bool = False
+    dropout: float = 0.0
+    activation: Callable = nn.gelu
+    lora_rank: int = 0
+    lora_alpha: float = 1.0
+    lora_dropout: float = 0.0
+    remat: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, key_mask=None, *, legacy_query_mask=None, deterministic=True):
+        block_cls = TransformerBlock
+        if self.remat:
+            block_cls = nn.remat(TransformerBlock, static_argnums=())
+        for i in range(self.depth):
+            x = block_cls(
+                dim=self.dim, heads=self.heads, mlp_dim=self.mlp_dim,
+                dim_head=self.dim_head, fused_qkv=self.fused_qkv,
+                causal=self.causal,
+                dropout=self.dropout, activation=self.activation,
+                lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+                lora_dropout=self.lora_dropout, dtype=self.dtype,
+                name=f"block_{i}",
+            )(x, key_mask, legacy_query_mask=legacy_query_mask,
+              deterministic=deterministic)
+        return x
+
+
+def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int, cls_token: bool = False):
+    """Frozen 2-D sin-cos positional embedding (MAE-style; reference
+    models/utils.py:5-54). Returns (P[+1], D) float32 numpy."""
+    assert embed_dim % 2 == 0
+
+    def one_dim(dim, pos):
+        omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
+        omega = 1.0 / 10000**omega
+        out = np.einsum("m,d->md", pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    grid_h = np.arange(grid_size, dtype=np.float32)
+    grid_w = np.arange(grid_size, dtype=np.float32)
+    grid = np.stack(np.meshgrid(grid_w, grid_h), axis=0)  # w first, like the reference
+    emb = np.concatenate(
+        [one_dim(embed_dim // 2, grid[0]), one_dim(embed_dim // 2, grid[1])], axis=1
+    )
+    if cls_token:
+        emb = np.concatenate([np.zeros((1, embed_dim)), emb], axis=0)
+    return emb.astype(np.float32)

@@ -1,0 +1,91 @@
+"""Attention backends: XLA vs Pallas-flash parity, masking semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bifold_tpu.ops.attention import dot_product_attention
+from bifold_tpu.ops.flash_attention import flash_attention
+
+
+def _qkv(rng, b=2, n=160, h=4, d=32):
+    q, k, v = (rng.normal(size=(b, n, h, d)).astype(np.float32) for _ in range(3))
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+def test_flash_matches_xla_no_mask(rng):
+    q, k, v = _qkv(rng)
+    ref = dot_product_attention(q, k, v, backend="xla")
+    out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_matches_xla_with_key_mask(rng):
+    q, k, v = _qkv(rng, n=96)
+    mask = (rng.random((2, 96)) > 0.3).astype(np.int32)
+    mask[:, 0] = 1  # at least one valid key
+    ref = dot_product_attention(q, k, v, key_mask=jnp.asarray(mask), backend="xla")
+    out = flash_attention(q, k, v, key_mask=jnp.asarray(mask),
+                          block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_handles_non_multiple_lengths(rng):
+    # 100 tokens with 128-blocks: padding path must not corrupt outputs
+    q, k, v = _qkv(rng, n=100)
+    ref = dot_product_attention(q, k, v, backend="xla")
+    out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_key_mask_blocks_padded_keys(rng):
+    q, k, v = _qkv(rng, n=32)
+    mask = np.ones((2, 32), np.int32)
+    mask[:, 16:] = 0
+    out1 = dot_product_attention(q, k, v, key_mask=jnp.asarray(mask), backend="xla")
+    # changing masked keys must not change the output
+    k2 = jnp.asarray(np.concatenate([np.asarray(k)[:, :16], 1e3 * np.ones_like(np.asarray(k)[:, 16:])], axis=1))
+    v2 = jnp.asarray(np.concatenate([np.asarray(v)[:, :16], -1e3 * np.ones_like(np.asarray(v)[:, 16:])], axis=1))
+    out2 = dot_product_attention(q, k2, v2, key_mask=jnp.asarray(mask), backend="xla")
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+
+def test_legacy_query_mask_reproduces_reference_quirk(rng):
+    """The reference masks the query dim (transformer.py:33-35): padded-row
+    outputs become uniform averages, and padded KEYS still contribute."""
+    q, k, v = _qkv(rng, n=16)
+    mask = np.ones((2, 16), np.int32)
+    mask[:, 8:] = 0
+    out = dot_product_attention(q, k, v, legacy_query_mask=jnp.asarray(mask), backend="xla")
+    # reference numpy: softmax over keys of (masked-query rows -> all -1e5 -> uniform)
+    qn, kn, vn = (np.asarray(t) for t in (q, k, v))
+    scale = qn.shape[-1] ** -0.5
+    logits = np.einsum("bqhd,bkhd->bhqk", qn, kn) * scale
+    logits = np.where(mask[:, None, :, None] == 0, -100000.0, logits)
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    ref = np.einsum("bhqk,bkhd->bqhd", probs, vn)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_causal_mask(rng):
+    q, k, v = _qkv(rng, n=24)
+    out = dot_product_attention(q, k, v, causal=True, backend="xla")
+    # last-token change must not affect earlier outputs
+    k2 = jnp.asarray(np.asarray(k)).at[:, -1].set(100.0)
+    v2 = jnp.asarray(np.asarray(v)).at[:, -1].set(100.0)
+    out2 = dot_product_attention(q, k2, v2, causal=True, backend="xla")
+    np.testing.assert_allclose(np.asarray(out[:, :-1]), np.asarray(out2[:, :-1]), atol=1e-5)
+    assert not np.allclose(np.asarray(out[:, -1]), np.asarray(out2[:, -1]))
+
+
+def test_flash_grad_flows(rng):
+    q, k, v = _qkv(rng, b=1, n=64, h=2, d=16)
+
+    def loss(q):
+        return flash_attention(q, k, v, block_q=128, block_k=128, interpret=True).sum()
+
+    g = jax.grad(loss)(q)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
