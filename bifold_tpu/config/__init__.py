@@ -235,8 +235,12 @@ def compose(
     defaults = primary.pop("defaults", [])
     primary.pop("hydra", None)
 
-    # Partition overrides into group selections vs value overrides.
+    # Partition overrides into group selections vs value overrides. A bare
+    # key may name a group dir (``model=siglip``) or a defaults-entry target
+    # (``train_dataset=synthetic`` for ``dataset@train_dataset``).
     group_dirs = {p.name for p in config_dir.iterdir() if p.is_dir()}
+    target_keys = {target for _, target, _ in _iter_defaults(defaults)
+                   if target != "_self_"}
     group_choice: dict[str, Any] = {}
     value_overrides: list[tuple[str, str, Any]] = []
     for ov in overrides:
@@ -252,7 +256,7 @@ def compose(
         key = key.strip()
         value = _parse_value(raw)
         head = key.split(".", 1)[0].split("@", 1)[0]
-        if "." not in key and (head in group_dirs):
+        if "." not in key and (head in group_dirs or key in target_keys):
             group_choice[key] = value
         else:
             value_overrides.append(("add" if add else "set", key, value))

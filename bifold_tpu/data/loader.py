@@ -1,0 +1,107 @@
+"""Host-side batching loader feeding the device-side Processor.
+
+Replaces the reference's ``torch.utils.data.DataLoader(num_workers=6)``
+(/root/reference/bifold/data/__init__.py:67-95): dataset ``__getitem__`` only
+does cheap decode/tokenize work, batches are collated as numpy and handed to
+``Processor.process_batch`` (one fused XLA program), and an optional
+background thread overlaps next-batch host work with device compute
+(prefetch=2 double buffering).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, Optional
+
+import numpy as np
+
+__all__ = ["DataLoader", "collate"]
+
+
+def collate(records: list) -> Dict[str, Any]:
+    """Stack a list of raw records into one batch dict.
+
+    ndarray values stack; strings and other scalars become lists;
+    ``label_keys`` (identical across records) passes through.
+    """
+    batch: Dict[str, Any] = {}
+    first = records[0]
+    for k, v in first.items():
+        if k == "label_keys":
+            batch[k] = v
+        elif isinstance(v, np.ndarray):
+            batch[k] = np.stack([r[k] for r in records])
+        elif isinstance(v, (np.integer, int, float, np.floating)):
+            batch[k] = np.asarray([r[k] for r in records])
+        else:
+            batch[k] = [r[k] for r in records]
+    return batch
+
+
+class DataLoader:
+    """Shuffling/batching iterator over a raw-record dataset.
+
+    Each yielded batch has been through ``processor.process_batch`` (device
+    arrays, model-ready). ``drop_last`` defaults True for train so batch
+    shapes stay static under jit (no recompiles on the ragged tail).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, drop_last: Optional[bool] = None,
+                 num_workers: int = 0, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = shuffle if drop_last is None else drop_last
+        self.num_workers = num_workers
+        self.prefetch = max(1, prefetch)
+        self._rng = np.random.default_rng(seed)
+        self.processor = dataset.processor
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        nb = len(self)
+        for b in range(nb):
+            yield idx[b * self.batch_size : (b + 1) * self.batch_size]
+
+    def _make_batch(self, indices) -> Dict[str, Any]:
+        records = [self.dataset[int(i)] for i in indices]
+        return self.processor.process_batch(collate(records))
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        if self.prefetch <= 1:
+            for indices in self._index_batches():
+                yield self._make_batch(indices)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error: list = []
+
+        def producer():
+            try:
+                for indices in self._index_batches():
+                    q.put(self._make_batch(indices))
+            except BaseException as e:  # noqa: BLE001 - surfaced on consumer side
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item

@@ -1,0 +1,265 @@
+"""Text tokenizers producing fixed-length int32 id arrays.
+
+Counterpart of the reference's three text paths
+(/root/reference/bifold/data/processor.py:126-141):
+
+- SigLIP: HF ``AutoProcessor`` sentencepiece tokenizer, 64-token padding,
+- HF ``AutoTokenizer`` for arbitrary ``text_encoder`` names (T5, ...), and
+- the vendored OpenAI-CLIP BPE (77 tokens, SOT/EOT,
+  /root/reference/bifold/models/clip/simple_tokenizer.py).
+
+This environment has no network and no HF cache, so each path degrades
+gracefully: real tokenizer assets are loaded when present (HF cache,
+``BIFOLD_CLIP_BPE`` vocab file, sentencepiece model); otherwise a
+deterministic hashing tokenizer with the same vocab size, special tokens, and
+padding behavior stands in. The model only needs *stable* ids at fixed length
+— parity with pretrained checkpoints additionally requires the original
+vocab files, exactly as the reference requires its downloads.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import html
+import os
+import re
+from functools import lru_cache
+from pathlib import Path
+from typing import Iterable, Optional
+
+import numpy as np
+
+__all__ = [
+    "HashTokenizer",
+    "ClipBPETokenizer",
+    "build_tokenizer",
+    "CLIP_CONTEXT_LENGTH",
+    "SIGLIP_CONTEXT_LENGTH",
+]
+
+CLIP_CONTEXT_LENGTH = 77
+SIGLIP_CONTEXT_LENGTH = 64
+_CLIP_VOCAB_SIZE = 49408  # 49152 BPE merges + 256 bytes-ish + 2 specials
+_SIGLIP_VOCAB_SIZE = 32000
+
+
+def _stable_hash(token: str) -> int:
+    return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "little")
+
+
+def _basic_clean(text: str) -> str:
+    return html.unescape(html.unescape(text)).strip()
+
+
+def _whitespace_clean(text: str) -> str:
+    return re.sub(r"\s+", " ", text).strip()
+
+
+class HashTokenizer:
+    """Deterministic word-level tokenizer: lowercase, strip punctuation, map
+    each word to a stable hash bucket. Fixed ``context_length`` output with
+    SOT/EOT/PAD ids laid out like the tokenizer it stands in for."""
+
+    def __init__(self, vocab_size: int, context_length: int,
+                 sot: Optional[int] = None, eot: Optional[int] = None,
+                 pad: int = 0, reserved: int = 3, lowercase: bool = True):
+        self.vocab_size = vocab_size
+        self.context_length = context_length
+        self.sot = sot
+        self.eot = eot
+        self.pad = pad
+        self.reserved = reserved
+        self.lowercase = lowercase
+
+    def encode_words(self, text: str) -> list[int]:
+        text = _whitespace_clean(_basic_clean(text))
+        if self.lowercase:
+            text = text.lower()
+        words = re.findall(r"[a-z0-9]+|[^\sa-z0-9]", text)
+        span = self.vocab_size - self.reserved
+        return [self.reserved + _stable_hash(w) % span for w in words]
+
+    def __call__(self, text: str) -> np.ndarray:
+        ids = self.encode_words(text)
+        out = np.full((self.context_length,), self.pad, dtype=np.int32)
+        pos = 0
+        if self.sot is not None:
+            out[0] = self.sot
+            pos = 1
+        budget = self.context_length - pos - (1 if self.eot is not None else 0)
+        ids = ids[:budget]
+        out[pos : pos + len(ids)] = ids
+        pos += len(ids)
+        if self.eot is not None:
+            out[pos] = self.eot
+        return out
+
+
+@lru_cache()
+def _bytes_to_unicode() -> dict[int, str]:
+    """GPT-2 byte<->unicode table (standard public construction)."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("\xa1"), ord("\xac") + 1))
+          + list(range(ord("\xae"), ord("\xff") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+def _get_pairs(word: tuple[str, ...]) -> set[tuple[str, str]]:
+    return set(zip(word[:-1], word[1:]))
+
+
+class ClipBPETokenizer:
+    """OpenAI-CLIP byte-pair tokenizer (77 tokens, lowercased, SOT/EOT).
+
+    Requires the public ``bpe_simple_vocab_16e6.txt.gz`` merges file; pass its
+    path or set ``$BIFOLD_CLIP_BPE``. The algorithm is the standard BPE with
+    word-final ``</w>`` markers, implemented from the published description.
+    """
+
+    def __init__(self, bpe_path: str | Path, context_length: int = CLIP_CONTEXT_LENGTH):
+        self.context_length = context_length
+        self.byte_encoder = _bytes_to_unicode()
+        merges_raw = gzip.open(bpe_path).read().decode("utf-8").split("\n")
+        merges = [tuple(m.split()) for m in merges_raw[1 : 49152 - 256 - 2 + 1]]
+        vocab = list(self.byte_encoder.values())
+        vocab = vocab + [v + "</w>" for v in vocab]
+        vocab.extend("".join(m) for m in merges)
+        vocab.extend(["<|startoftext|>", "<|endoftext|>"])
+        self.encoder = {tok: i for i, tok in enumerate(vocab)}
+        self.bpe_ranks = dict(zip(merges, range(len(merges))))
+        self.cache: dict[str, str] = {}
+        self.sot = self.encoder["<|startoftext|>"]
+        self.eot = self.encoder["<|endoftext|>"]
+        if _HAS_REGEX:
+            self.pat = _regex_mod.compile(
+                r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
+                r"""[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+                _regex_mod.IGNORECASE)
+        else:
+            self.pat = re.compile(
+                r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
+                r"""[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
+                re.IGNORECASE)
+
+    def _bpe(self, token: str) -> str:
+        if token in self.cache:
+            return self.cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        pairs = _get_pairs(word)
+        if not pairs:
+            return token + "</w>"
+        while True:
+            bigram = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word: list[str] = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                new_word.extend(word[i:j])
+                i = j
+                if i < len(word) - 1 and word[i] == first and word[i + 1] == second:
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = _get_pairs(word)
+        out = " ".join(word)
+        self.cache[token] = out
+        return out
+
+    def encode(self, text: str) -> list[int]:
+        bpe_tokens: list[int] = []
+        text = _whitespace_clean(_basic_clean(text)).lower()
+        for token in self.pat.findall(text):
+            token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
+            bpe_tokens.extend(self.encoder[t] for t in self._bpe(token).split(" "))
+        return bpe_tokens
+
+    def __call__(self, text: str) -> np.ndarray:
+        ids = [self.sot] + self.encode(text) + [self.eot]
+        if len(ids) > self.context_length:  # reference tokenize() truncates, keeps EOT
+            ids = ids[: self.context_length - 1] + [self.eot]
+        out = np.zeros((self.context_length,), dtype=np.int32)
+        out[: len(ids)] = ids
+        return out
+
+
+try:  # `regex` supports \p classes; fall back to ASCII classes without it
+    import regex as _regex_mod  # noqa: F401
+    _HAS_REGEX = True
+except ImportError:
+    _HAS_REGEX = False
+
+
+# CLIP model names served by the vendored tokenizer in the reference
+# (models/clip/__init__.py:34 _MODELS table).
+CLIP_MODEL_NAMES = {
+    "RN50", "RN101", "RN50x4", "RN50x16", "RN50x64",
+    "ViT-B/32", "ViT-B/16", "ViT-L/14", "ViT-L/14@336px",
+}
+
+
+def build_tokenizer(text_encoder: Optional[str] = None,
+                    autoprocessor_name: Optional[str] = None):
+    """Pick the tokenizer the reference would
+    (processor.py:87-141): autoprocessor (SigLIP) > CLIP BPE for CLIP model
+    names > HF AutoTokenizer for anything else. Missing assets degrade to a
+    HashTokenizer with matching shape/special-token layout."""
+    # no egress in this environment: resolve from local caches only, and fail
+    # fast to the hash fallback instead of retrying network fetches
+    os.environ.setdefault("HF_HUB_OFFLINE", "1")
+    os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+    if autoprocessor_name:
+        try:
+            from transformers import AutoTokenizer  # noqa: WPS433
+            tok = AutoTokenizer.from_pretrained(autoprocessor_name,
+                                                local_files_only=True)
+
+            def siglip_tok(text: str) -> np.ndarray:
+                ids = tok(text, padding="max_length", truncation=True,
+                          max_length=SIGLIP_CONTEXT_LENGTH)["input_ids"]
+                return np.asarray(ids, np.int32)
+
+            return siglip_tok
+        except Exception:
+            # offline: siglip lowercases + strips punctuation; eos=1, pad=1
+            return HashTokenizer(_SIGLIP_VOCAB_SIZE, SIGLIP_CONTEXT_LENGTH,
+                                 sot=None, eot=1, pad=1)
+    if text_encoder in CLIP_MODEL_NAMES or text_encoder is None:
+        bpe = os.environ.get("BIFOLD_CLIP_BPE")
+        if bpe and Path(bpe).exists():
+            return ClipBPETokenizer(bpe)
+        return HashTokenizer(_CLIP_VOCAB_SIZE, CLIP_CONTEXT_LENGTH,
+                             sot=_CLIP_VOCAB_SIZE - 2, eot=_CLIP_VOCAB_SIZE - 1)
+    try:
+        from transformers import AutoTokenizer  # noqa: WPS433
+        tok = AutoTokenizer.from_pretrained(text_encoder, model_max_length=64,
+                                            local_files_only=True)
+
+        def hf_tok(text: str) -> np.ndarray:
+            ids = tok(text, max_length=CLIP_CONTEXT_LENGTH,
+                      padding="max_length", truncation=True)["input_ids"]
+            return np.asarray(ids, np.int32)
+
+        return hf_tok
+    except Exception:
+        return HashTokenizer(_CLIP_VOCAB_SIZE, CLIP_CONTEXT_LENGTH,
+                             sot=None, eot=1, pad=0)

@@ -45,3 +45,8 @@ class Action:
     @property
     def is_bimanual(self) -> bool:
         return self.left_pick is not None
+
+    def fields(self):
+        """(name, value) pairs of the populated pick/place fields, in the
+        declaration order the reference's ``action.__dict__`` iteration sees."""
+        return [(k, v) for k, v in self.__dict__.items() if v is not None]

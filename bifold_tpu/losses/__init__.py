@@ -1,0 +1,161 @@
+"""Jittable losses over heatmap dicts.
+
+Counterpart of /root/reference/bifold/losses/__init__.py (Losses registry,
+ComposedLoss, BCEGaussMap, BCEMask, DiceLoss, FocalLoss). Losses here are
+pure functions ``loss_fn(output, sample) -> (scalar, intermediates)`` built by
+string-keyed factories, so the whole loss lives inside ``jit`` and fuses with
+the backward pass.
+
+Numerics note: the reference computes ``nn.BCELoss`` on sigmoid outputs,
+which clamps ``log(p)`` at -100 (torch's documented behavior). We reproduce
+the same clamp so saturated heatmaps score identically; see
+:func:`binary_cross_entropy`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax.numpy as jnp
+
+from bifold_tpu.core.registry import Registry
+
+__all__ = [
+    "Losses",
+    "build_loss",
+    "binary_cross_entropy",
+    "bce_gaussmap",
+    "bce_mask",
+    "dice",
+    "focal",
+    "composed",
+]
+
+LossFn = Callable[[Dict[str, Any], Dict[str, Any]], Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]]
+
+Losses: Registry = Registry("loss")
+
+# torch.nn.BCELoss clamps each log term at -100 for stability.
+_LOG_CLAMP = -100.0
+
+
+def binary_cross_entropy(p, target, reduction: str = "mean"):
+    """Elementwise BCE on probabilities with torch-style log clamping."""
+    p = p.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    log_p = jnp.maximum(jnp.log(p), _LOG_CLAMP)
+    log_1p = jnp.maximum(jnp.log1p(-p), _LOG_CLAMP)
+    loss = -(target * log_p + (1.0 - target) * log_1p)
+    if reduction == "mean":
+        return loss.mean()
+    if reduction == "sum":
+        return loss.sum()
+    return loss
+
+
+def _squeeze_mask(mask):
+    """(B, 1, H, W) or (B, H, W) -> (B, H, W)."""
+    if mask.ndim == 4:
+        return mask[:, 0]
+    return mask
+
+
+@Losses.register("bce_gaussmap")
+def bce_gaussmap(is_bimanual: bool, mask_pick_heatmap: bool = False, **_) -> LossFn:
+    """Per-head BCE between predicted heatmaps and Gaussian targets, summed over
+    {pick,place}x{arm} (reference losses/__init__.py:54-109)."""
+
+    heads = (["left_pick", "right_pick", "left_place", "right_place"]
+             if is_bimanual else ["pick", "place"])
+
+    def loss_fn(output, sample):
+        intermediates = {}
+        total = 0.0
+        for head in heads:
+            target = sample[f"{head}_heatmap"]
+            if head.endswith("pick") and mask_pick_heatmap:
+                target = target * _squeeze_mask(sample["mask"])
+            curr = binary_cross_entropy(output[f"{head}_heatmap"], target)
+            intermediates[head] = curr
+            total = total + curr
+        return total, intermediates
+
+    return loss_fn
+
+
+@Losses.register("bce_mask")
+def bce_mask(**_) -> LossFn:
+    """BCE of the mask head vs the cloth mask (losses/__init__.py:112-117)."""
+
+    def loss_fn(output, sample):
+        return binary_cross_entropy(
+            output["mask_heatmap"], _squeeze_mask(sample["mask"])), {}
+
+    return loss_fn
+
+
+@Losses.register("dice")
+def dice(**_) -> LossFn:
+    """DETR/SAM-style dice loss on the mask head, summed over the batch
+    (losses/__init__.py:126-136)."""
+
+    def loss_fn(output, sample):
+        inputs = output["mask_heatmap"].reshape(output["mask_heatmap"].shape[0], -1)
+        targets = _squeeze_mask(sample["mask"]).reshape(inputs.shape[0], -1)
+        targets = targets.astype(jnp.float32)
+        numerator = 2.0 * (inputs * targets).sum(axis=1)
+        denominator = inputs.sum(axis=-1) + targets.sum(axis=-1)
+        return (1.0 - (numerator + 1.0) / (denominator + 1.0)).sum(), {}
+
+    return loss_fn
+
+
+@Losses.register("focal")
+def focal(alpha: float = 0.25, gamma: float = 2.0, **_) -> LossFn:
+    """Focal loss on the mask head. Reproduces the reference's reduction
+    exactly — ``loss.mean(1).sum()`` over a (B, H, W) map, i.e. mean over rows
+    then sum over batch*cols (losses/__init__.py:139-155, a quirk we keep for
+    parity)."""
+
+    def loss_fn(output, sample):
+        prob = output["mask_heatmap"].astype(jnp.float32)
+        targets = _squeeze_mask(sample["mask"]).astype(jnp.float32)
+        ce = binary_cross_entropy(prob, targets, reduction="none")
+        p_t = prob * targets + (1.0 - prob) * (1.0 - targets)
+        loss = ce * (1.0 - p_t) ** gamma
+        if alpha >= 0:
+            alpha_t = alpha * targets + (1.0 - alpha) * (1.0 - targets)
+            loss = alpha_t * loss
+        return loss.mean(axis=1).sum(), {}
+
+    return loss_fn
+
+
+@Losses.register("composed")
+def composed(loss_names, weights, **kwargs) -> LossFn:
+    """Weighted sum of named losses with per-loss intermediate logging
+    (losses/__init__.py:30-51)."""
+    assert len(loss_names) == len(weights)
+    parts = {name: Losses.get(name)(**kwargs) for name in loss_names}
+    weight_of = dict(zip(loss_names, weights))
+
+    def loss_fn(output, sample):
+        intermediates = {}
+        total = 0.0
+        for name, fn in parts.items():
+            curr, curr_inter = fn(output, sample)
+            total = total + curr * weight_of[name]
+            intermediates[name] = curr
+            for k, v in curr_inter.items():
+                intermediates[f"{name} {k}"] = v
+        return total, intermediates
+
+    return loss_fn
+
+
+def build_loss(cfg: dict) -> LossFn:
+    """Build a loss from its config node; keys are factory kwargs
+    (reference Losses.get_by_name splat semantics)."""
+    node = dict(cfg)
+    name = node.pop("name")
+    return Losses.get(name)(**node)

@@ -1,0 +1,97 @@
+"""Optimizers and LR schedules (optax).
+
+Counterpart of /root/reference/bifold/optim/__init__.py: ``Optimizers`` /
+``Schedulers`` string factories and the ``LinearWarmup`` per-step schedule
+(linear warmup over ``warmup_portion`` of total iters from ``warmup_start_lr``
+to the base lr, then optional cosine annealing to 0).
+
+TPU split of responsibilities: freezing is an optimizer concern here — frozen
+subtrees (see :func:`bifold_tpu.models.trainable_mask`) ride
+``optax.set_to_zero`` so they carry no Adam state and their updates fuse to
+no-ops, instead of torch's ``requires_grad`` filtering
+(reference __main__.py:113).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import optax
+
+from bifold_tpu.core.registry import Registry
+
+__all__ = ["Optimizers", "Schedulers", "build_schedule", "build_optimizer"]
+
+Optimizers: Registry = Registry("optimizer")
+Schedulers: Registry = Registry("scheduler")
+
+
+@Optimizers.register("adam")
+def _adam(learning_rate, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0, **_):
+    if weight_decay:
+        return optax.adamw(learning_rate, b1=betas[0], b2=betas[1], eps=eps,
+                           weight_decay=weight_decay)
+    return optax.adam(learning_rate, b1=betas[0], b2=betas[1], eps=eps)
+
+
+@Optimizers.register("adamw")
+def _adamw(learning_rate, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.01, **_):
+    return optax.adamw(learning_rate, b1=betas[0], b2=betas[1], eps=eps,
+                       weight_decay=weight_decay)
+
+
+@Schedulers.register("linear_warmup")
+def _linear_warmup(base_lr: float, max_iters: int, warmup_portion: float = 0.1,
+                   warmup_start_lr: float = 0.0, use_cosine_decay: bool = True,
+                   **_) -> optax.Schedule:
+    """Reference LinearWarmup (optim/__init__.py:28-92) as an optax schedule."""
+    warmup_steps = int(warmup_portion * max_iters)
+    if use_cosine_decay:
+        return optax.warmup_cosine_decay_schedule(
+            init_value=warmup_start_lr, peak_value=base_lr,
+            warmup_steps=warmup_steps, decay_steps=max_iters, end_value=0.0)
+    schedules = [optax.linear_schedule(warmup_start_lr, base_lr, warmup_steps),
+                 optax.constant_schedule(base_lr)]
+    return optax.join_schedules(schedules, [warmup_steps])
+
+
+def build_schedule(scheduler_cfg: Optional[dict], base_lr: float,
+                   max_iters: int) -> optax.Schedule:
+    """None/name=null -> constant lr (reference Schedulers.get_by_name)."""
+    node = dict(scheduler_cfg or {})
+    name = node.pop("name", None)
+    if name is None:
+        return optax.constant_schedule(base_lr)
+    return Schedulers.get(name)(base_lr=base_lr, max_iters=max_iters, **node)
+
+
+def build_optimizer(
+    optim_cfg: dict,
+    scheduler_cfg: Optional[dict] = None,
+    *,
+    max_iters: int = 1,
+    trainable: Optional[Any] = None,
+    gradient_clip: Optional[float] = None,
+) -> tuple[optax.GradientTransformation, optax.Schedule]:
+    """Compose clip -> adam(schedule), masked to the trainable subtree.
+
+    ``trainable`` is a bool pytree (True = train); frozen leaves get
+    ``optax.set_to_zero`` and zero optimizer state. Returns ``(tx, schedule)``
+    — the schedule is also returned standalone so the trainer can log lr per
+    step (reference __main__.py:154-159).
+    """
+    node = dict(optim_cfg)
+    name = node.pop("name")
+    base_lr = node.pop("lr")
+    schedule = build_schedule(scheduler_cfg, base_lr, max_iters)
+
+    tx = Optimizers.get(name)(learning_rate=schedule, **node)
+    if gradient_clip is not None:
+        tx = optax.chain(optax.clip_by_global_norm(gradient_clip), tx)
+    if trainable is not None:
+        labels = jax.tree_util.tree_map(
+            lambda t: "train" if t else "frozen", trainable)
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, labels)
+    return tx, schedule

@@ -1,0 +1,172 @@
+"""End-to-end data pipeline: synthetic dataset -> loader -> device batches,
+plus processor parity behaviors (sample schema, dummies, gaussmaps, context
+padding) mirroring reference bifold/data/processor.py semantics."""
+
+import numpy as np
+import pytest
+
+from bifold_tpu.config import compose
+from bifold_tpu.data import DataLoader, build_dataset, collate, get_dataloaders
+from bifold_tpu.data.processor import DUMMY, Processor
+from bifold_tpu.data.tokenizers import HashTokenizer, build_tokenizer
+
+
+PROC_CFG = {
+    "text_encoder": None, "sigma": 5, "model_image_size": 64,
+    "requires_graph": False, "spatial_augment": True,
+    "spatial_augmentations": {"max_augmentation_trials": 5,
+                              "rotate_augmentation": [-5, 6],
+                              "translate_augmentation": [-5, 6]},
+    "image_mean": [0.48145466, 0.4578275, 0.40821073],
+    "image_std": [0.26862954, 0.26130258, 0.27577711],
+    "standardize_depth": False, "mask_depth": True, "strategy": "gmm",
+    "depth_augmentations": {"add_depth_noise": False, "random_depth_shift": False,
+                            "min_shift": -0.2, "max_shift": 0.2},
+}
+
+
+def _raw_inputs(rng, size=128):
+    rgb = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+    depth = rng.random((size, size), dtype=np.float32)
+    mask = (rng.random((size, size)) > 0.5).astype(np.float32)
+    return rgb, depth, mask
+
+
+def test_train_sample_schema(rng):
+    proc = Processor(PROC_CFG, partition="train")
+    rgb, depth, mask = _raw_inputs(rng)
+    s = proc(rgb=rgb, depth=depth, mask=mask, instruction="fold the towel",
+             pick=np.array([40.0, 50.0]), place=np.array([80.0, 90.0]))
+    assert s["rgb"].shape == (3, 64, 64)
+    assert s["depth"].shape == (1, 64, 64)
+    assert s["mask"].shape == (1, 64, 64)
+    assert s["raw_rgb"].shape == (64, 64, 3) and s["raw_rgb"].dtype == np.uint8
+    assert s["instruction"].shape[0] >= 64
+    assert s["pick"].shape == (8, 2)
+    assert s["pick_heatmap"].shape == (64, 64)
+    assert s["place_heatmap"].shape == (64, 64)
+    assert set(np.unique(s["mask"])) <= {0.0, 1.0}
+    # heatmap peaks near the (scaled, possibly slightly augmented) label
+    p = s["pick"][0]
+    py, px = np.unravel_index(np.argmax(s["pick_heatmap"]), (64, 64))
+    assert abs(px - p[0]) < 1.0 and abs(py - p[1]) < 1.0
+
+
+def test_test_partition_no_heatmaps_and_dummy(rng):
+    proc = Processor(PROC_CFG, partition="test")
+    rgb, depth, mask = _raw_inputs(rng)
+    s = proc(rgb=rgb, depth=depth, mask=mask, instruction="fold",
+             pick=None, place=None)
+    assert "pick_heatmap" not in s
+    np.testing.assert_array_equal(s["pick"], DUMMY)
+    np.testing.assert_array_equal(s["place"], DUMMY)
+
+
+def test_label_scaling(rng):
+    cfg = dict(PROC_CFG, spatial_augment=False)
+    proc = Processor(cfg, partition="train")
+    rgb, depth, mask = _raw_inputs(rng, size=128)
+    s = proc(rgb=rgb, depth=depth, mask=mask, instruction="x",
+             pick=np.array([64.0, 32.0]), place=np.array([100.0, 20.0]))
+    # 128 -> 64 model res: labels halve
+    np.testing.assert_allclose(s["pick"][0], [32.0, 16.0], atol=1e-5)
+    np.testing.assert_allclose(s["place"][0], [50.0, 10.0], atol=1e-5)
+
+
+def test_context_padding_and_mask(rng):
+    proc = Processor(PROC_CFG, partition="test", max_context_length=3)
+    rgb, depth, mask = _raw_inputs(rng)
+    ctx = [{"rgb": rgb, "depth": depth, "mask": mask}]
+    s = proc(rgb=rgb, depth=depth, mask=mask, instruction="x", context=ctx,
+             pick=None, place=None)
+    np.testing.assert_array_equal(s["context_attention_mask"], [1, 0, 0])
+    assert s["rgb_context"].shape == (3, 3, 64, 64)
+    assert s["depth_context"].shape == (3, 1, 64, 64)
+    # dummy frames are all-ones (reference processor.py:104-115)
+    np.testing.assert_array_equal(s["rgb_context"][1], np.ones((3, 64, 64)))
+    np.testing.assert_array_equal(s["depth_context"][2], np.ones((1, 64, 64)))
+    # real frame is processed (not ones)
+    assert not np.allclose(s["rgb_context"][0], 1.0)
+
+
+def test_loader_batching_and_drop_last():
+    cfg = compose(["train_dataset=synthetic", "model=siglip", "test_dataset=null",
+                   "train_dataset.n_samples=10", "train_dataset.image_size=64",
+                   "model.image_size=64", "model.automodel_name=null"])
+    ds = build_dataset(cfg["train_dataset"], cfg["processor"], "train")
+    dl = DataLoader(ds, batch_size=4, shuffle=True, seed=0)
+    assert len(dl) == 2  # drop_last on shuffled train
+    batches = list(dl)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["rgb"].shape == (4, 3, 64, 64)
+    assert b["pick_heatmap"].shape == (4, 64, 64)
+
+    dl_test = DataLoader(ds, batch_size=4, shuffle=False, drop_last=False)
+    assert len(dl_test) == 3
+
+
+def test_get_dataloaders_defaults_test_to_train():
+    cfg = compose(["train_dataset=synthetic", "model=siglip", "test_dataset=null",
+                   "train_dataset.n_samples=6", "train_dataset.image_size=64",
+                   "model.image_size=64", "model.automodel_name=null",
+                   "batch_size=2", "test_batch_size=2"])
+    train_dl, test_dl, proc = get_dataloaders(cfg)
+    assert len(train_dl) == 3
+    assert proc.partition == "test"
+    tb = next(iter(test_dl))
+    assert "pick_heatmap" not in tb  # test partition emits labels, not targets
+    assert tb["pick"].shape == (2, 8, 2)
+
+
+def test_hash_tokenizer_stable_and_padded():
+    tok = HashTokenizer(32000, 64, sot=None, eot=1, pad=1)
+    a = tok("Fold the towel")
+    b = tok("fold the towel!")
+    assert a.shape == (64,)
+    assert a.dtype == np.int32
+    np.testing.assert_array_equal(tok("Fold the towel"), a)
+    assert (a[:3] == b[:3]).all()  # case-insensitive words match
+    assert a[-1] == 1  # padding
+
+
+def test_build_tokenizer_fallbacks():
+    tok = build_tokenizer(None, None)  # CLIP-shaped fallback
+    ids = tok("fold the shirt")
+    assert ids.shape == (77,)
+    tok2 = build_tokenizer(None, "google/siglip-base-patch16-224")
+    ids2 = tok2("fold the shirt")
+    assert ids2.shape == (64,)
+
+
+def test_augmentation_determinism_with_key(rng):
+    import jax
+    proc = Processor(PROC_CFG, partition="train")
+    rgb, depth, mask = _raw_inputs(rng)
+    raw = proc.make_raw(rgb=rgb, depth=depth, mask=mask, instruction="x",
+                        pick=np.array([40.0, 50.0]), place=np.array([60.0, 60.0]))
+    batch = collate([raw])
+    key = jax.random.key(7)
+    s1 = proc.process_batch(dict(batch), key=key)
+    s2 = proc.process_batch(dict(batch), key=key)
+    np.testing.assert_array_equal(np.asarray(s1["rgb"]), np.asarray(s2["rgb"]))
+    np.testing.assert_array_equal(np.asarray(s1["pick"]), np.asarray(s2["pick"]))
+
+
+def test_graph_features(rng):
+    cfg = dict(PROC_CFG, requires_graph=True, spatial_augment=False)
+    proc = Processor(cfg, partition="test", num_nodes=50, neighbor_radius=0.1,
+                     voxel_size=0.02)
+    rgb, depth, mask = _raw_inputs(rng)
+    from bifold_tpu.data.datasets import deng_camera_matrices
+    from bifold_tpu.ops.geometry import intrinsic_from_fov
+    m_w2c, _ = deng_camera_matrices()
+    k = intrinsic_from_fov(128, 128, fov=45)
+    s = proc(rgb=rgb, depth=depth, mask=mask, instruction="x",
+             matrix_world_to_camera=m_w2c, K=k,
+             pick=np.array([40.0, 50.0]), place=np.array([60.0, 60.0]))
+    assert s["graph_x"].shape == (50, 3)
+    assert s["graph_edge_index"].shape[0] == 2
+    assert s["pick_node_heatmap"].shape == (50,)
+    assert s["pick_node_heatmap"].sum() >= 1
+    assert s["pixel_sampled_pc"].shape == (50, 2)

@@ -1,0 +1,99 @@
+"""Losses vs torch goldens (the reference computes nn.BCELoss on sigmoid
+outputs; see /root/reference/bifold/losses/__init__.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from bifold_tpu.losses import binary_cross_entropy, build_loss
+
+
+def _rand_sample(rng, bimanual, b=2, s=32):
+    keys = (["left_pick", "right_pick", "left_place", "right_place"]
+            if bimanual else ["pick", "place"])
+    sample = {"mask": rng.integers(0, 2, (b, 1, s, s)).astype(np.float32)}
+    output = {}
+    for k in keys:
+        sample[f"{k}_heatmap"] = rng.random((b, s, s), dtype=np.float32)
+        output[f"{k}_heatmap"] = rng.random((b, s, s), dtype=np.float32)
+    output["mask_heatmap"] = rng.random((b, s, s), dtype=np.float32).clip(1e-4, 1 - 1e-4)
+    return output, sample
+
+
+def test_bce_matches_torch(rng):
+    p = rng.random((4, 16, 16), dtype=np.float32).clip(1e-6, 1 - 1e-6)
+    t = rng.integers(0, 2, (4, 16, 16)).astype(np.float32)
+    ours = float(binary_cross_entropy(jnp.asarray(p), jnp.asarray(t)))
+    theirs = float(F.binary_cross_entropy(torch.tensor(p), torch.tensor(t)))
+    assert abs(ours - theirs) < 1e-5
+
+
+def test_bce_saturation_clamp():
+    # torch clamps log(0) at -100; so do we
+    p = jnp.array([[0.0, 1.0]])
+    t = jnp.array([[1.0, 0.0]])
+    ours = float(binary_cross_entropy(p, t))
+    theirs = float(F.binary_cross_entropy(torch.tensor([[0.0, 1.0]]),
+                                          torch.tensor([[1.0, 0.0]])))
+    assert abs(ours - theirs) < 1e-5
+    assert abs(ours - 100.0) < 1e-5
+
+
+@pytest.mark.parametrize("bimanual", [False, True])
+@pytest.mark.parametrize("mask_pick", [False, True])
+def test_bce_gaussmap_golden(rng, bimanual, mask_pick):
+    output, sample = _rand_sample(rng, bimanual)
+    loss_fn = build_loss({"name": "bce_gaussmap", "is_bimanual": bimanual,
+                          "mask_pick_heatmap": mask_pick})
+    ours, inter = loss_fn(output, sample)
+
+    ref = 0.0
+    keys = (["left_pick", "right_pick", "left_place", "right_place"]
+            if bimanual else ["pick", "place"])
+    for k in keys:
+        tgt = torch.tensor(sample[f"{k}_heatmap"])
+        if k.endswith("pick") and mask_pick:
+            tgt = tgt * torch.tensor(sample["mask"]).squeeze(1)
+        ref += F.binary_cross_entropy(torch.tensor(output[f"{k}_heatmap"]), tgt)
+    assert abs(float(ours) - float(ref)) < 1e-4
+    assert set(inter) == set(keys)
+
+
+def test_dice_focal_bce_mask_golden(rng):
+    output, sample = _rand_sample(rng, False)
+    mask_t = torch.tensor(sample["mask"]).squeeze(1)
+    prob_t = torch.tensor(output["mask_heatmap"])
+
+    ours, _ = build_loss({"name": "bce_mask"})(output, sample)
+    assert abs(float(ours) - float(F.binary_cross_entropy(prob_t, mask_t))) < 1e-4
+
+    ours, _ = build_loss({"name": "dice"})(output, sample)
+    inputs = prob_t.flatten(1)
+    targets = mask_t.flatten(1)
+    num = 2 * (inputs * targets).sum(1)
+    den = inputs.sum(-1) + targets.sum(-1)
+    ref = (1 - (num + 1) / (den + 1)).sum()
+    assert abs(float(ours) - float(ref)) < 1e-4
+
+    ours, _ = build_loss({"name": "focal"})(output, sample)
+    ce = F.binary_cross_entropy(prob_t, mask_t, reduction="none")
+    p_t = prob_t * mask_t + (1 - prob_t) * (1 - mask_t)
+    loss = ce * (1 - p_t) ** 2
+    alpha_t = 0.25 * mask_t + 0.75 * (1 - mask_t)
+    ref = (alpha_t * loss).mean(1).sum()
+    assert abs(float(ours) - float(ref)) / max(abs(float(ref)), 1) < 1e-4
+
+
+def test_composed_weights(rng):
+    output, sample = _rand_sample(rng, False)
+    composed = build_loss({"name": "composed", "loss_names": ["bce_gaussmap", "bce_mask"],
+                           "weights": [2, 1], "is_bimanual": False,
+                           "mask_pick_heatmap": True})
+    total, inter = composed(output, sample)
+    part_g, _ = build_loss({"name": "bce_gaussmap", "is_bimanual": False,
+                            "mask_pick_heatmap": True})(output, sample)
+    part_m, _ = build_loss({"name": "bce_mask"})(output, sample)
+    assert abs(float(total) - (2 * float(part_g) + float(part_m))) < 1e-4
+    assert "bce_gaussmap pick" in inter

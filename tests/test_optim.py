@@ -1,0 +1,74 @@
+"""Optimizer/scheduler semantics vs the reference's LinearWarmup
+(bifold/optim/__init__.py:28-92) and frozen-param masking."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bifold_tpu.optim import build_optimizer, build_schedule
+
+
+def test_constant_schedule_when_none():
+    sched = build_schedule(None, base_lr=1e-3, max_iters=100)
+    assert float(sched(0)) == 1e-3
+    assert float(sched(99)) == 1e-3
+    sched2 = build_schedule({"name": None}, base_lr=1e-3, max_iters=100)
+    assert float(sched2(50)) == 1e-3
+
+
+def test_linear_warmup_cosine():
+    cfg = {"name": "linear_warmup", "warmup_portion": 0.1,
+           "warmup_start_lr": 0, "use_cosine_decay": True}
+    max_iters, base = 1000, 1e-4
+    sched = build_schedule(cfg, base_lr=base, max_iters=max_iters)
+    assert float(sched(0)) == 0.0
+    assert abs(float(sched(50)) - base * 0.5) < 1e-9  # mid-warmup
+    assert abs(float(sched(100)) - base) < 1e-9       # warmup done
+    assert float(sched(550)) < base                    # decaying
+    assert float(sched(max_iters)) < 1e-6              # ~0 at the end
+
+
+def test_warmup_no_decay_holds_base():
+    cfg = {"name": "linear_warmup", "warmup_portion": 0.1,
+           "warmup_start_lr": 0, "use_cosine_decay": False}
+    sched = build_schedule(cfg, base_lr=1e-4, max_iters=100)
+    assert abs(float(sched(10)) - 1e-4) < 1e-9
+    assert abs(float(sched(99)) - 1e-4) < 1e-9
+
+
+def test_frozen_mask_zero_updates_and_state():
+    params = {"backbone": {"w": jnp.ones((4, 4))}, "head": {"w": jnp.ones((4, 4))}}
+    trainable = {"backbone": {"w": False}, "head": {"w": True}}
+    tx, _ = build_optimizer({"name": "adam", "lr": 1e-2, "betas": [0.9, 0.999],
+                             "eps": 1e-8, "weight_decay": 0},
+                            None, max_iters=10, trainable=trainable)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, state = tx.update(grads, state, params)
+    assert np.all(np.asarray(updates["backbone"]["w"]) == 0)
+    assert np.all(np.asarray(updates["head"]["w"]) != 0)
+
+
+def test_gradient_clip():
+    params = {"w": jnp.ones(3)}
+    tx, _ = build_optimizer({"name": "adam", "lr": 1.0, "betas": [0.9, 0.999],
+                             "eps": 1e-8, "weight_decay": 0},
+                            None, max_iters=10, gradient_clip=0.1)
+    state = tx.init(params)
+    big = {"w": jnp.full(3, 1e3)}
+    updates, _ = tx.update(big, state, params)
+    assert np.all(np.isfinite(np.asarray(updates["w"])))
+
+
+def test_adamw_weight_decay_differs():
+    params = {"w": jnp.full(3, 10.0)}
+    mk = lambda name, wd: build_optimizer(
+        {"name": name, "lr": 1e-2, "betas": [0.9, 0.999], "eps": 1e-8,
+         "weight_decay": wd}, None, max_iters=10)[0]
+    g = {"w": jnp.zeros(3)}
+    for name, wd, expect_move in [("adam", 0, False), ("adamw", 0.01, True)]:
+        tx = mk(name, wd)
+        st = tx.init(params)
+        up, _ = tx.update(g, st, params)
+        moved = bool(np.any(np.abs(np.asarray(up["w"])) > 1e-8))
+        assert moved == expect_move, (name, wd)
