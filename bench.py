@@ -1,0 +1,194 @@
+"""Benchmark: flagship training throughput (samples/sec/chip) on real TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+- Model: SiglipSequential at the shipped bimanual configuration (image 384,
+  dim 768, 12-layer towers, 8-layer fusion, 3 context frames, 4 heatmap
+  heads, LoRA-frozen towers) — the reference's training config
+  (conf/model/siglip_sequential.yaml, batch hyperparams conf/config.yaml).
+- Step: the real Trainer code path — on-device Processor batch transform +
+  jitted SPMD train step (loss, grads, masked Adam) with donated state.
+- Baseline: the measured torch-CPU architecture-equivalent step from
+  BENCH_BASELINE.json (scripts/measure_torch_baseline.py) — the reference is
+  single-process torch; there is no GPU in this environment.
+- Extra: batch-1 img+text->action p50 latency (BASELINE.md target < 20 ms).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent
+
+
+def _flagship(batch: int, image_size: int = 384, context: int = 3):
+    import jax
+    import jax.numpy as jnp
+
+    from bifold_tpu import parallel
+    from bifold_tpu.losses import build_loss
+    from bifold_tpu.models import build_model, trainable_mask
+    from bifold_tpu.optim import build_optimizer
+
+    model = build_model({
+        "name": "siglip_sequential", "image_size": image_size,
+        "is_bimanual": True, "patch_size": 16,
+        "automodel_name": f"google/siglip-base-patch16-{image_size}",
+        "dim": 768, "lora": True, "r": 8, "lora_alpha": 32,
+        "depth": 8, "heads": 16, "context_length": context,
+    }, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    s = image_size
+    raw = {
+        "rgb": rng.integers(0, 255, (batch, s, s, 3), dtype=np.uint8),
+        "depth": rng.random((batch, s, s), dtype=np.float32),
+        "mask": (rng.random((batch, s, s)) > 0.5).astype(np.float32),
+        "instruction": rng.integers(0, 30000, (batch, 64)).astype(np.int32),
+        "ctx_rgb": rng.integers(0, 255, (batch, context, s, s, 3), dtype=np.uint8),
+        "ctx_depth": rng.random((batch, context, s, s), dtype=np.float32),
+        "ctx_mask": np.ones((batch, context, s, s), np.float32),
+        "ctx_count": np.full((batch,), context, np.int32),
+        "label_keys": ("left_pick", "left_place", "right_pick", "right_place"),
+    }
+    for k in raw["label_keys"]:
+        lab = -np.ones((batch, 8, 2), np.float32)
+        lab[:, 0] = rng.uniform(50, 300, (batch, 2))
+        raw[k] = lab
+
+    from bifold_tpu.data.processor import Processor
+    proc = Processor(
+        {"model_image_size": s, "text_encoder": None, "sigma": 5,
+         "requires_graph": False, "spatial_augment": True, "strategy": "gmm",
+         "mask_depth": True, "standardize_depth": False},
+        partition="train", max_context_length=context,
+        autoprocessor_name="siglip")
+
+    batch_proc = proc.process_batch(raw)
+    device_batch = {k: jnp.asarray(v) for k, v in batch_proc.items()
+                    if not isinstance(v, (list, tuple))}
+
+    params = model.init(jax.random.key(0), device_batch,
+                        deterministic=True)["params"]
+    loss_fn = build_loss({"name": "bce_gaussmap", "is_bimanual": True,
+                          "mask_pick_heatmap": False})
+    tx, _ = build_optimizer(
+        {"name": "adam", "lr": 1e-4, "betas": [0.9, 0.999], "eps": 1e-8,
+         "weight_decay": 0}, None, max_iters=100,
+        trainable=trainable_mask(params, lora=True))
+    opt_state = tx.init(params)
+    step = parallel.make_train_step(model, loss_fn, tx, donate=True)
+    return model, proc, raw, device_batch, params, opt_state, step
+
+
+def bench_train(batch: int, steps: int = 10, warmup: int = 2):
+    import jax
+
+    (model, proc, raw, device_batch, params, opt_state,
+     step) = _flagship(batch)
+    state = (params, opt_state, {})
+    key = jax.random.key(0)
+    for i in range(warmup):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, device_batch, k)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.time()
+    for i in range(steps):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, device_batch, k)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.time() - t0) / steps
+    return batch / dt, dt, float(metrics["loss"])
+
+
+def bench_latency(image_size: int = 384, context: int = 3, iters: int = 30):
+    """Batch-1 img+text -> pixel action, p50 over iters (pre-compiled fixed
+    shapes, the serving path BASELINE.md targets at <20 ms)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bifold_tpu.models import build_model, decode_action
+
+    model = build_model({
+        "name": "siglip", "image_size": image_size, "is_bimanual": True,
+        "patch_size": 16, "automodel_name": "siglip-base", "dim": 768,
+        "lora": False, "depth": 8, "heads": 16,
+    }, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    s = image_size
+    sample = {
+        "rgb": jnp.asarray(rng.standard_normal((1, 3, s, s)), jnp.bfloat16),
+        "instruction": jnp.asarray(rng.integers(0, 30000, (1, 64)), jnp.int32),
+        "mask": jnp.asarray((rng.random((1, 1, s, s)) > 0.5), jnp.float32),
+    }
+    variables = model.init(jax.random.key(0), sample, deterministic=True)
+
+    @jax.jit
+    def serve(variables, sample):
+        out = model.apply(variables, sample, deterministic=True)
+        return decode_action(out, sample, is_bimanual=True, threshold=0.01)
+
+    res = serve(variables, sample)
+    jax.block_until_ready(res)
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        res = serve(variables, sample)
+        jax.block_until_ready(res)
+        times.append(time.time() - t0)
+    return float(np.median(times) * 1e3)
+
+
+def main():
+    import jax
+
+    devices = jax.devices()
+    platform = devices[0].platform
+    n_chips = len(devices)
+
+    baseline_path = ROOT / "BENCH_BASELINE.json"
+    baseline = None
+    if baseline_path.exists():
+        baseline = json.loads(baseline_path.read_text()).get(
+            "torch_cpu_train_samples_per_sec")
+
+    batch = 8
+    throughput = step_time = loss = None
+    while batch >= 1:
+        try:
+            throughput, step_time, loss = bench_train(batch)
+            break
+        except Exception as e:  # noqa: BLE001 - retry smaller on OOM
+            if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
+                batch //= 2
+                continue
+            raise
+    per_chip = throughput / n_chips
+
+    try:
+        p50_ms = bench_latency()
+    except Exception:  # noqa: BLE001
+        p50_ms = None
+
+    print(json.dumps({
+        "metric": "train_samples_per_sec_per_chip",
+        "value": round(per_chip, 3),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(per_chip / baseline, 3) if baseline else None,
+        "platform": platform,
+        "n_chips": n_chips,
+        "batch": batch,
+        "step_time_s": round(step_time, 4),
+        "loss": round(loss, 4),
+        "batch1_p50_ms": round(p50_ms, 3) if p50_ms is not None else None,
+        "baseline_torch_cpu_samples_per_sec": baseline,
+    }))
+
+
+if __name__ == "__main__":
+    main()

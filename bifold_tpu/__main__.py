@@ -1,0 +1,53 @@
+"""CLI entrypoint: ``python -m bifold_tpu [overrides...]``.
+
+Counterpart of /root/reference/bifold/__main__.py:24-35 (hydra.main): compose
+the config from ``bifold_tpu/conf`` with Hydra-style overrides
+(``model=siglip``, ``optim.lr=1e-3``, ``+k=v``, ``~k``), build the run dir
+(``<run_dir>/<override_dirname>``), snapshot the composed config, then train
+and/or evaluate.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from bifold_tpu.config import Config, compose
+from bifold_tpu.trainer import Trainer
+
+# overrides that should not change the run-dir identity (reference
+# conf/config.yaml hydra.job.config.override_dirname exclude list)
+_NON_SEMANTIC = {"use_wandb", "num_workers", "debug", "eval_only", "load_best",
+                 "visualize_model_inputs", "visualize_predictions", "run_dir",
+                 "log_every"}
+
+
+def override_dirname(overrides: list[str]) -> str:
+    parts = []
+    for ov in overrides:
+        key = ov.lstrip("+~").split("=")[0]
+        if key.split(".")[0] in _NON_SEMANTIC:
+            continue
+        parts.append(ov.replace("/", "_"))
+    return ",".join(parts) or "default"
+
+
+def main(argv: list[str] | None = None) -> int:
+    overrides = list(sys.argv[1:] if argv is None else argv)
+    if "--help" in overrides or "-h" in overrides:
+        print(__doc__)
+        print("Groups: model, dataset@train_dataset, dataset@test_dataset, "
+              "processor, loss, optim, scheduler")
+        return 0
+    cfg = compose(overrides)
+    run_dir = Path(cfg["run_dir"]) / override_dirname(overrides)
+    trainer = Trainer(Config(cfg), run_dir=run_dir)
+    if not cfg["eval_only"]:
+        trainer.prepare_train()
+        trainer.train()
+    trainer.eval()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

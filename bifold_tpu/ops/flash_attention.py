@@ -40,7 +40,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, block_k, kv_le
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (bq, bk)
-        kmask = mask_ref[0, pl.ds(i * block_k, block_k)]  # (bk,)
+        kmask = mask_ref[0, 0, pl.ds(i * block_k, block_k)]  # (bk,)
         s = jnp.where(kmask[None, :] == 0, _NEG, s)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -151,7 +151,10 @@ def _flash_forward(
     qb = _pad_to(to_bh(q), 1, block_q)
     kb = _pad_to(to_bh(k), 1, block_k)
     vb = _pad_to(to_bh(v), 1, block_k)
-    maskb = jnp.repeat(_pad_to(key_mask, 1, block_k), h, axis=0)  # (B*H, nk_pad)
+    # (B*H, 1, nk_pad): kept 3-D so the mask block's trailing dims equal the
+    # array dims (TPU requires trailing block dims divisible by (8, 128) OR
+    # equal to the array's — a (1, nk) 2-D block satisfies neither).
+    maskb = jnp.repeat(_pad_to(key_mask, 1, block_k), h, axis=0)[:, None, :]
 
     nq_pad, nk_pad = qb.shape[1], kb.shape[1]
     grid = (b * h, nq_pad // block_q)
@@ -163,7 +166,7 @@ def _flash_forward(
             pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nk_pad, d), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nk_pad, d), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nk_pad), lambda bh, i: (bh, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk_pad), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, block_q, d), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM

@@ -1,0 +1,179 @@
+"""Device mesh, shardings, and the SPMD train/eval step builders.
+
+The reference is single-process single-GPU (SURVEY.md §2.4: no DDP/FSDP, no
+torch.distributed anywhere); distribution is this framework's first-class
+TPU-native addition. Design: a (dp, fsdp, tp) ``jax.sharding.Mesh`` over all
+devices; the batch shards over ``dp`` (and ``fsdp``, which acts as a second
+data axis whose parameter/optimizer state is additionally sharded ZeRO-style);
+parameters are replicated over ``dp`` and — for leaves large enough — sharded
+over ``fsdp``; XLA inserts the gradient all-reduce / all-gather collectives
+over ICI from the sharding annotations alone (scaling-book recipe: annotate,
+compile, profile).
+
+``tp`` is reserved for tensor-parallel attention/MLP sharding of the fusion
+stack; at BiFold's ~200M-param scale dp(+fsdp) saturates a v5e slice, so tp
+defaults to 1 but the mesh carries the axis so larger models can turn it on
+without re-plumbing.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "param_sharding",
+    "shard_batch",
+    "make_train_step",
+    "make_eval_step",
+    "cross_replica_mean",
+]
+
+BATCH_AXES = ("dp", "fsdp")
+
+
+def make_mesh(mesh_cfg: Optional[dict] = None,
+              devices: Optional[list] = None) -> Mesh:
+    """Build the (dp, fsdp, tp) mesh from the ``mesh`` config node.
+
+    ``dp: -1`` absorbs all devices not claimed by fsdp/tp
+    (conf/config.yaml mesh defaults).
+    """
+    cfg = dict(mesh_cfg or {})
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    fsdp = int(cfg.get("fsdp", 1))
+    tp = int(cfg.get("tp", 1))
+    dp = int(cfg.get("dp", -1))
+    if dp == -1:
+        assert n % (fsdp * tp) == 0, f"{n} devices not divisible by fsdp*tp={fsdp * tp}"
+        dp = n // (fsdp * tp)
+    assert dp * fsdp * tp == n, (
+        f"mesh {dp}x{fsdp}x{tp} != {n} devices")
+    arr = np.asarray(devices).reshape(dp, fsdp, tp)
+    return Mesh(arr, axis_names=("dp", "fsdp", "tp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch dim sharded over dp and fsdp (fsdp is a second data axis)."""
+    return NamedSharding(mesh, P(BATCH_AXES))
+
+
+def _fsdp_spec(leaf: jnp.ndarray, fsdp_size: int, min_size: int) -> P:
+    """ZeRO-style spec: shard the largest divisible axis over ``fsdp`` for
+    leaves above ``min_size`` elements; everything else replicates."""
+    if fsdp_size <= 1 or leaf.size < min_size:
+        return P()
+    dims = list(leaf.shape)
+    order = sorted(range(len(dims)), key=lambda i: -dims[i])
+    for i in order:
+        if dims[i] % fsdp_size == 0 and dims[i] >= fsdp_size:
+            spec = [None] * len(dims)
+            spec[i] = "fsdp"
+            return P(*spec)
+    return P()
+
+
+def param_sharding(mesh: Mesh, params: Any, min_size: int = 2**16) -> Any:
+    """NamedSharding pytree for params/opt-state: replicated over dp/tp,
+    fsdp-sharded for large leaves."""
+    fsdp_size = mesh.shape["fsdp"]
+
+    def one(leaf):
+        if not hasattr(leaf, "shape") or not hasattr(leaf, "size"):
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, _fsdp_spec(leaf, fsdp_size, min_size))
+
+    return jax.tree_util.tree_map(one, params)
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Device-put a host batch with the batch dim sharded over (dp, fsdp).
+
+    Non-array leaves (instruction strings, label_keys) pass through.
+    """
+    sharding = batch_sharding(mesh)
+    n_batch_shards = mesh.shape["dp"] * mesh.shape["fsdp"]
+
+    def put(x):
+        if isinstance(x, (np.ndarray, jax.Array)) and getattr(x, "ndim", 0) > 0:
+            if x.shape[0] % n_batch_shards:
+                raise ValueError(
+                    f"Batch dim {x.shape[0]} must be divisible by dp*fsdp="
+                    f"{n_batch_shards}; adjust batch_size or the mesh config")
+            return jax.device_put(x, sharding)
+        return x
+    return jax.tree_util.tree_map(put, batch)
+
+
+def cross_replica_mean(tree: Any) -> Any:
+    """Mean over all batch shards — a no-op under jit (XLA already reduced
+    loss scalars from sharded inputs); kept for explicit pmap-style paths."""
+    return tree
+
+
+def make_train_step(model, loss_fn: Callable, tx, *,
+                    has_batch_stats: bool = False,
+                    donate: bool = True) -> Callable:
+    """Build the jitted SPMD train step.
+
+    step((params, opt_state, extra_vars), batch, key)
+      -> (params, opt_state, extra_vars), metrics
+
+    The caller places params/opt_state with :func:`param_sharding` and the
+    batch with :func:`shard_batch`; jit then propagates shardings and inserts
+    the dp all-reduce for gradients. ``metrics`` carries loss + per-head
+    intermediates (scalars, replicated).
+    """
+
+    def step(state, batch, key):
+        params, opt_state, extra = state
+
+        def compute_loss(p):
+            variables = {"params": p, **extra}
+            if has_batch_stats:
+                out, mutated = model.apply(
+                    variables, batch, deterministic=False,
+                    rngs={"dropout": key}, mutable=["batch_stats"])
+            else:
+                out = model.apply(variables, batch, deterministic=False,
+                                  rngs={"dropout": key})
+                mutated = {}
+            loss, inter = loss_fn(out, batch)
+            return loss, (inter, mutated)
+
+        (loss, (inter, mutated)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        extra = {**extra, **mutated}
+        gnorm = jnp.sqrt(sum(
+            jnp.sum(jnp.square(g.astype(jnp.float32)))
+            for g in jax.tree_util.tree_leaves(grads)))
+        metrics = {"loss": loss, "grad_norm": gnorm, **inter}
+        return (params, opt_state, extra), metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, *, has_batch_stats: bool = False) -> Callable:
+    """Jitted deterministic forward returning the heatmap dict."""
+
+    def step(params, extra, batch):
+        variables = {"params": params, **extra}
+        return model.apply(variables, batch, deterministic=True)
+
+    return jax.jit(step)

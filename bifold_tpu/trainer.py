@@ -1,0 +1,314 @@
+"""Trainer: the train/eval driver (L6 of the reference's layer map).
+
+Counterpart of /root/reference/bifold/__main__.py:38-394 (``Trainer``):
+seeding, model + dataloader construction, the epoch loop with per-step
+scheduler and gradient clipping, periodic pixel eval driving best/last
+checkpoints (with RNG states for bitwise resume), eval-result yaml merging,
+and the eval dispatch between pixel metrics and the SoftGym closed loop.
+
+TPU-native differences:
+- the step is one donated, jitted SPMD program over the (dp, fsdp, tp) mesh
+  (parallel.make_train_step); batches are device-sharded over dp x fsdp;
+- freezing is an optimizer mask (models.trainable_mask), not requires_grad;
+- the "device" is the mesh — there is no .to(device) anywhere;
+- throughput (samples/sec/chip) and step time are first-class logged metrics
+  (the BASELINE.md north-star numbers).
+"""
+
+from __future__ import annotations
+
+import random
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from bifold_tpu import models as models_lib
+from bifold_tpu import parallel
+from bifold_tpu.config import Config, save as save_config
+from bifold_tpu.data import get_dataloaders
+from bifold_tpu.env.action import Action
+from bifold_tpu.losses import build_loss
+from bifold_tpu.metrics import Metrics
+from bifold_tpu.models import build_model, decode_action, trainable_mask
+from bifold_tpu.optim import build_optimizer
+from bifold_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from bifold_tpu.utils.logging import Writer
+
+__all__ = ["Trainer", "seed_randomness", "split_batch"]
+
+
+def seed_randomness(seed: int) -> jax.Array:
+    """Seed python/numpy and return the root jax key
+    (reference __main__.py:106-110 seeds random/np/torch/cuda)."""
+    random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.key(seed)
+
+
+_HOST_KEYS = ("raw_instruction", "label_keys")
+
+
+def split_batch(batch: Dict[str, Any]):
+    """(device_arrays, host_side) — strings and metadata stay off-device."""
+    device = {k: v for k, v in batch.items()
+              if k not in _HOST_KEYS and not isinstance(v, (list, tuple, str))}
+    host = {k: v for k, v in batch.items() if k not in device}
+    return device, host
+
+
+class Trainer:
+    def __init__(self, cfg: Config, run_dir: Optional[str | Path] = None):
+        self.cfg = cfg
+        self.run_dir = Path(run_dir if run_dir is not None else cfg["run_dir"])
+        self.run_dir.mkdir(parents=True, exist_ok=True)
+        save_config(cfg, self.run_dir / "config.yaml")
+
+        self.key = seed_randomness(int(cfg["seed"]))
+        self.mesh = parallel.make_mesh(dict(cfg.get("mesh", {})))
+        self.writer = Writer(self.run_dir, use_wandb=bool(cfg.get("use_wandb")),
+                             group=str(dict(cfg["train_dataset"]).get("name")),
+                             config=cfg.to_dict() if isinstance(cfg, Config) else dict(cfg))
+
+        precision = dict(cfg.get("precision", {}))
+        dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+            precision.get("compute_dtype", "float32")]
+        self.model = build_model(cfg["model"], dtype=dtype,
+                                 remat=bool(precision.get("remat", False)))
+
+        (self.train_dataloader, self.test_dataloader,
+         self.processor) = get_dataloaders(cfg)
+
+        # Initialize variables on a real (test-partition) batch.
+        init_batch, _ = split_batch(next(iter(self.test_dataloader)))
+        self.key, init_key = jax.random.split(self.key)
+        variables = self.model.init(init_key, init_batch, deterministic=True)
+        variables = jax.tree_util.tree_map(jnp.asarray, variables)
+        self.params = variables["params"]
+        self.extra_vars = {k: v for k, v in variables.items() if k != "params"}
+        self.has_batch_stats = "batch_stats" in self.extra_vars
+
+        self._place_params()
+        self.metrics = Metrics(dict(cfg["metrics"]))
+        self.epoch = 0
+        self.global_step = 0
+        self.tx = None
+        self.opt_state = None
+        self.schedule = None
+        self._train_step = None
+        self._eval_step = parallel.make_eval_step(
+            self.model, has_batch_stats=self.has_batch_stats)
+        self._decode = jax.jit(
+            lambda out, batch: decode_action(
+                out, batch, is_bimanual=self.model.is_bimanual,
+                constrain_pick_mask=getattr(self.model, "constrain_pick_mask", True),
+                threshold=float(self.model.threshold)))
+
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(self.params))
+        print(f"[trainer] model={dict(cfg['model'])['name']} params={n_params / 1e6:.1f}M "
+              f"mesh={dict(self.mesh.shape)} devices={len(jax.devices())}")
+
+    # ------------------------------------------------------------------
+
+    def _place_params(self) -> None:
+        shardings = parallel.param_sharding(self.mesh, self.params)
+        self.params = jax.device_put(self.params, shardings)
+        if self.extra_vars:
+            self.extra_vars = jax.device_put(
+                self.extra_vars, parallel.param_sharding(self.mesh, self.extra_vars))
+
+    def prepare_train(self) -> None:
+        """Loss/optimizer/scheduler + resume (reference __main__.py:112-122)."""
+        cfg = self.cfg
+        self.loss_fn = build_loss(dict(cfg["loss"]))
+        max_iters = max(1, len(self.train_dataloader) * int(cfg["epochs"]))
+        lora = bool(dict(cfg["model"]).get("lora", False))
+        mask = trainable_mask(self.params, lora=lora)
+        sched_cfg = dict(cfg["scheduler"]) if cfg.get("scheduler") else None
+        self.tx, self.schedule = build_optimizer(
+            dict(cfg["optim"]), sched_cfg, max_iters=max_iters, trainable=mask,
+            gradient_clip=cfg.get("gradient_clip"))
+        self.opt_state = self.tx.init(self.params)
+        self.opt_state = jax.device_put(
+            self.opt_state, parallel.param_sharding(self.mesh, self.opt_state))
+        self._train_step = parallel.make_train_step(
+            self.model, self.loss_fn, self.tx,
+            has_batch_stats=self.has_batch_stats,
+            donate=bool(self.cfg.get("donate_state", True)))
+        self.load_model(prefer="last")
+
+    # ------------------------------------------------------------------
+    # Checkpointing (reference __main__.py:272-325)
+    # ------------------------------------------------------------------
+
+    @property
+    def ckpt_dir(self) -> Path:
+        return self.run_dir / "checkpoints"
+
+    def save_model(self, name: str) -> None:
+        save_checkpoint(
+            self.ckpt_dir / f"{name}.ckpt",
+            params=self.params, opt_state=self.opt_state,
+            extra_vars=self.extra_vars, epoch=self.epoch,
+            step=self.global_step, best_eval=self.metrics.best_eval,
+            jax_key=self.key,
+            metadata={"model": dict(self.cfg["model"]),
+                      "tracked_metric": self.metrics.tracked_metric})
+
+    def load_model(self, prefer: str = "last", path: Optional[Path] = None) -> bool:
+        path = path or latest_checkpoint(self.ckpt_dir, prefer=prefer)
+        if path is None:
+            return False
+        payload = load_checkpoint(path)
+        self.params = jax.tree_util.tree_map(jnp.asarray, payload["params"])
+        if payload.get("extra_vars"):
+            self.extra_vars = jax.tree_util.tree_map(
+                jnp.asarray, payload["extra_vars"])
+        self._place_params()
+        if payload.get("opt_state") is not None and self.tx is not None:
+            ref = self.tx.init(self.params)
+            restored = jax.tree_util.tree_map(
+                lambda r, s: jnp.asarray(s).astype(r.dtype) if hasattr(r, "dtype") else s,
+                ref, payload["opt_state"])
+            self.opt_state = jax.device_put(
+                restored, parallel.param_sharding(self.mesh, self.opt_state or restored))
+        self.epoch = int(payload.get("epoch", 0))
+        self.global_step = int(payload.get("step", 0))
+        self.metrics.best_eval = payload.get("best_eval")
+        if payload.get("jax_key") is not None:
+            self.key = payload["jax_key"]
+        print(f"[trainer] resumed from {path} (epoch {self.epoch})")
+        return True
+
+    # ------------------------------------------------------------------
+    # Training loop (reference __main__.py:68-163)
+    # ------------------------------------------------------------------
+
+    def train(self) -> None:
+        cfg = self.cfg
+        eval_epochs = int(cfg.get("eval_epochs") or 0)
+        save_epochs = cfg.get("save_epochs")
+        for epoch in range(self.epoch, int(cfg["epochs"])):
+            self.epoch = epoch
+            self.train_epoch()
+            if eval_epochs and (epoch + 1) % eval_epochs == 0:
+                has_improved, metric_dict = self.eval_epoch(epoch)
+                self.writer.log({f"eval/{k}": v for k, v in metric_dict.items()},
+                                self.global_step)
+                if has_improved:
+                    self.save_model("best")
+            if save_epochs and (epoch + 1) % int(save_epochs) == 0:
+                self.save_model("last")
+        self.epoch = int(cfg["epochs"])
+        self.save_model("last")
+
+    def train_epoch(self) -> float:
+        log_every = int(self.cfg.get("log_every", 50))
+        running, n_steps = 0.0, 0
+        t_epoch = time.time()
+        samples = 0
+        state = (self.params, self.opt_state, self.extra_vars)
+        for batch in self.train_dataloader:
+            device_batch, _ = split_batch(batch)
+            device_batch = parallel.shard_batch(self.mesh, device_batch)
+            self.key, step_key = jax.random.split(self.key)
+            t0 = time.time()
+            state, step_metrics = self._train_step(state, device_batch, step_key)
+            loss = float(step_metrics["loss"])
+            running += loss
+            n_steps += 1
+            samples += int(next(iter(device_batch.values())).shape[0])
+            self.global_step += 1
+            if self.global_step % log_every == 0:
+                lr = float(self.schedule(self.global_step)) if self.schedule else None
+                self.writer.log(
+                    {"train/loss": loss,
+                     **{f"train/{k}": float(v) for k, v in step_metrics.items()
+                        if k != "loss"},
+                     "train/lr": lr,
+                     "train/step_time_s": time.time() - t0},
+                    self.global_step)
+        self.params, self.opt_state, self.extra_vars = state
+        dt = time.time() - t_epoch
+        mean_loss = running / max(n_steps, 1)
+        throughput = samples / dt if dt > 0 else 0.0
+        self.writer.log({"train/epoch": self.epoch, "train/mean_loss": mean_loss,
+                         "train/samples_per_sec": throughput}, self.global_step)
+        print(f"[epoch {self.epoch}] loss={mean_loss:.4f} "
+              f"({throughput:.1f} samples/s)")
+        return mean_loss
+
+    # ------------------------------------------------------------------
+    # Evaluation (reference __main__.py:82-104,165-270)
+    # ------------------------------------------------------------------
+
+    def get_action(self, batch: Dict[str, Any], return_raw_output: bool = False):
+        """No-grad forward + jitted decode -> Action
+        (reference models/__init__.py:79-173)."""
+        device_batch, _ = split_batch(batch)
+        out = self._eval_step(self.params, self.extra_vars, device_batch)
+        decoded = jax.tree_util.tree_map(np.asarray,
+                                         self._decode(out, device_batch))
+        if self.model.is_bimanual:
+            action = Action(left_pick=decoded["left_pick"],
+                            right_pick=decoded["right_pick"],
+                            left_place=decoded["left_place"],
+                            right_place=decoded["right_place"])
+        else:
+            action = Action(pick=decoded["pick"], place=decoded["place"])
+        if return_raw_output:
+            return action, jax.tree_util.tree_map(np.asarray, out)
+        return action
+
+    def eval_epoch(self, epoch: Optional[int] = None):
+        """Pixel metrics during training; simulator eval when configured and
+        called at the end (epoch None), reference __main__.py:165-187."""
+        if epoch is None and self.cfg.get("simulator") == "softgym" \
+                and self._softgym_available():
+            return self.eval_epoch_softgym()
+        return self.eval_epoch_pixel()
+
+    def eval_epoch_pixel(self):
+        self.metrics.reset()
+        for batch in self.test_dataloader:
+            action, raw_output = self.get_action(batch, return_raw_output=True)
+            sample = {k: np.asarray(v) if not isinstance(v, (list, tuple)) else v
+                      for k, v in batch.items()}
+            self.metrics(action=action, sample=sample, raw_output=raw_output)
+        return self.metrics.summary()
+
+    def _softgym_available(self) -> bool:
+        try:
+            from bifold_tpu.env import softgym_evaluator  # noqa: F401,WPS433
+            return True
+        except ImportError:
+            return False
+
+    def eval_epoch_softgym(self):
+        from bifold_tpu.env.softgym_evaluator import run_softgym_eval  # noqa: WPS433
+        return run_softgym_eval(self)
+
+    def eval(self) -> Dict[str, float]:
+        """Final eval: load best (or last), run, merge into eval_<name>.yaml
+        (reference __main__.py:82-104)."""
+        prefer = "best" if self.cfg.get("load_best") else "last"
+        self.load_model(prefer=prefer)
+        _, metric_dict = self.eval_epoch(None)
+        ds_name = dict(self.cfg["test_dataset"]).get("name") or \
+            dict(self.cfg["train_dataset"]).get("name")
+        out_path = self.run_dir / f"eval_{ds_name}.yaml"
+        old: Dict[str, Any] = {}
+        if out_path.exists():
+            old = yaml.safe_load(out_path.read_text()) or {}
+            for k, v in metric_dict.items():
+                if k in old and old[k] is not None:
+                    print(f"[eval] {k}: {old[k]} -> {v}")
+        old.update({k: (None if v is None or (isinstance(v, float) and np.isnan(v))
+                        else float(v)) for k, v in metric_dict.items()})
+        out_path.write_text(yaml.safe_dump(old, sort_keys=False))
+        print(f"[eval] {metric_dict}")
+        return metric_dict

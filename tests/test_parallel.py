@@ -1,0 +1,120 @@
+"""Mesh/sharding/train-step on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from bifold_tpu import parallel
+
+
+def test_make_mesh_shapes(devices):
+    mesh = parallel.make_mesh({"dp": -1, "fsdp": 1, "tp": 1})
+    assert dict(mesh.shape) == {"dp": 8, "fsdp": 1, "tp": 1}
+    mesh2 = parallel.make_mesh({"dp": -1, "fsdp": 2, "tp": 1})
+    assert dict(mesh2.shape) == {"dp": 4, "fsdp": 2, "tp": 1}
+    with pytest.raises(AssertionError):
+        parallel.make_mesh({"dp": 3, "fsdp": 1, "tp": 1})
+
+
+def test_fsdp_param_sharding_spec(devices):
+    mesh = parallel.make_mesh({"dp": -1, "fsdp": 2, "tp": 1})
+    params = {"big": jnp.zeros((1024, 768)), "small": jnp.zeros((16,))}
+    sh = parallel.param_sharding(mesh, params, min_size=1000)
+    assert sh["big"].spec == P("fsdp", None)  # largest divisible axis sharded
+    assert sh["small"].spec == P()      # below min_size -> replicated
+
+
+def test_shard_batch_and_divisibility(devices):
+    mesh = parallel.make_mesh({"dp": -1, "fsdp": 1, "tp": 1})
+    batch = {"rgb": np.zeros((8, 3, 16, 16), np.float32), "meta": "keep"}
+    out = parallel.shard_batch(mesh, batch)
+    assert out["meta"] == "keep"
+    assert out["rgb"].sharding.spec == P(("dp", "fsdp"))
+    with pytest.raises(ValueError, match="divisible"):
+        parallel.shard_batch(mesh, {"x": np.zeros((3, 4), np.float32)})
+
+
+def test_train_step_dp_equals_single_device(devices):
+    """The sharded step must compute the same update as an unsharded one."""
+    import flax.linen as nn
+    import optax
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, batch, deterministic=True):
+            x = batch["x"].reshape(batch["x"].shape[0], -1)
+            h = nn.Dense(16)(x)
+            return {"y": nn.Dense(4)(nn.relu(h))}
+
+    def loss_fn(out, batch):
+        loss = jnp.mean((out["y"] - batch["t"]) ** 2)
+        return loss, {"mse": loss}
+
+    model = Tiny()
+    rng = np.random.default_rng(0)
+    batch = {"x": rng.standard_normal((8, 8)).astype(np.float32),
+             "t": rng.standard_normal((8, 4)).astype(np.float32)}
+    params = model.init(jax.random.key(0), batch)["params"]
+    tx = optax.adam(1e-2)
+
+    # unsharded reference update
+    def plain_step(params, opt_state):
+        grads = jax.grad(lambda p: loss_fn(
+            model.apply({"params": p}, batch), batch)[0])(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates)
+
+    expect = plain_step(params, tx.init(params))
+
+    mesh = parallel.make_mesh({"dp": -1, "fsdp": 1, "tp": 1})
+    step = parallel.make_train_step(model, loss_fn, tx, donate=False)
+    sp = parallel.param_sharding(mesh, params)
+    p_sharded = jax.device_put(params, sp)
+    o_sharded = jax.device_put(tx.init(params),
+                               parallel.param_sharding(mesh, tx.init(params)))
+    b_sharded = parallel.shard_batch(mesh, batch)
+    (p_new, _, _), metrics = step((p_sharded, o_sharded, {}), b_sharded,
+                                  jax.random.key(1))
+    for a, b in zip(jax.tree_util.tree_leaves(expect),
+                    jax.tree_util.tree_leaves(p_new)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_fsdp_step_matches_dp(devices):
+    """fsdp=2 (params sharded) must match dp-only numerics."""
+    import flax.linen as nn
+    import optax
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, batch, deterministic=True):
+            return {"y": nn.Dense(64)(batch["x"])}
+
+    def loss_fn(out, batch):
+        loss = jnp.mean(out["y"] ** 2)
+        return loss, {}
+
+    model = Tiny()
+    rng = np.random.default_rng(0)
+    batch = {"x": rng.standard_normal((8, 128)).astype(np.float32)}
+    params = model.init(jax.random.key(0), batch)["params"]
+    tx = optax.adam(1e-2)
+
+    results = []
+    for mesh_cfg in ({"dp": -1, "fsdp": 1, "tp": 1}, {"dp": -1, "fsdp": 2, "tp": 1}):
+        mesh = parallel.make_mesh(mesh_cfg)
+        step = parallel.make_train_step(model, loss_fn, tx, donate=False)
+        p = jax.device_put(params, parallel.param_sharding(mesh, params, min_size=64))
+        o = jax.device_put(tx.init(params),
+                           parallel.param_sharding(mesh, tx.init(params), min_size=64))
+        b = parallel.shard_batch(mesh, batch)
+        (p_new, _, _), m = step((p, o, {}), b, jax.random.key(1))
+        results.append((jax.tree_util.tree_map(np.asarray, p_new),
+                        float(m["loss"])))
+    (p1, l1), (p2, l2) = results
+    assert abs(l1 - l2) < 1e-6
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(a, b, atol=1e-4)
