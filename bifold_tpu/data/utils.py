@@ -31,9 +31,10 @@ DENG_CAMERA_PARAMS = {
 
 
 def get_mask_from_depth(depth: np.ndarray, threshold: float = 0.996) -> np.ndarray:
-    """Cloth mask for the unimanual sim data: depth < threshold
-    (reference data/utils.py:18-32; background plane sits at ~1.0)."""
-    return (depth < threshold).astype(np.float32)
+    """Cloth mask for the unimanual sim data (reference data/utils.py:18-23):
+    far pixels (> threshold, the background plane) and empty pixels
+    (depth == 0) are background; everything else is cloth."""
+    return ((depth <= threshold) & (depth != 0)).astype(np.float32)
 
 
 def voxelize_pointcloud(pointcloud: np.ndarray, voxel_size: float) -> np.ndarray:

@@ -1,0 +1,396 @@
+"""Particle cloth simulator: XPBD solver + z-buffer software renderer.
+
+TPU-native replacement for the reference's vendored NVIDIA FleX stack
+(/root/reference/deps/PyFlex: prebuilt CUDA solver + OpenGL renderer, whose
+.a blobs are absent from the mirror). The evaluation metric is *consistency*
+— model rollout vs oracle rollout in the SAME simulator (success = mean
+particle error < 2*radius, softgym_evaluator.py:369-370) — so the solver
+prioritizes determinism and stable cloth behavior: position-based dynamics
+with structural/shear/bend distance constraints, ground friction, and
+kinematic sphere colliders (the pickers).
+
+Backends: the vectorized numpy reference implementation here, and the C++
+core (csrc/bifold_sim.cpp, loaded via ctypes) which implements the identical
+step/render math for speed. `ClothSim(native=...)` picks automatically.
+
+Cloth state mirrors the reference's pyflex buffers so SoftGym-style caches
+round-trip: positions (N, 4: xyz + inv_mass), velocities (N, 3), shape states
+(P, 14: pos, prev_pos, quat, prev_quat), camera params.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from bifold_tpu.env.native import load_native
+
+__all__ = ["ClothSim", "grid_cloth", "load_obj", "DEFAULT_CAMERA", "FAR_DEPTH"]
+
+FAR_DEPTH = _FAR_DEPTH = 2.0
+
+DEFAULT_CAMERA = {
+    "pos": np.array([0.0, 0.65, 0.0]),
+    "angle": np.array([0.0, -np.pi / 2.0, 0.0]),
+    "width": 720,
+    "height": 720,
+}
+
+
+def grid_cloth(dimx: int, dimy: int, spacing: float,
+               center=(0.0, 0.0, 0.0)) -> Tuple[np.ndarray, np.ndarray]:
+    """Flat grid cloth in the XZ plane: vertices (N, 3), faces (F, 3).
+
+    Particle index layout matches the reference's square cloth
+    (softgym_cloth_env.py:392-414): row-major, index 0 at (-x, -z)."""
+    xs = (np.arange(dimx) - (dimx - 1) / 2.0) * spacing
+    zs = (np.arange(dimy) - (dimy - 1) / 2.0) * spacing
+    xx, zz = np.meshgrid(xs, zs)  # (dimy, dimx)
+    verts = np.stack([xx + center[0],
+                      np.full_like(xx, center[1]),
+                      zz + center[2]], axis=-1).reshape(-1, 3)
+    faces = []
+    for j in range(dimy - 1):
+        for i in range(dimx - 1):
+            a = j * dimx + i
+            b = a + 1
+            c = a + dimx
+            d = c + 1
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    return verts.astype(np.float32), np.asarray(faces, np.int64)
+
+
+def load_obj(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Minimal OBJ loader (v + f, polygons fan-triangulated, 1-based)."""
+    verts, faces = [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                verts.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith("f "):
+                idx = [int(tok.split("/")[0]) - 1 for tok in line.split()[1:]]
+                for k in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    return np.asarray(verts, np.float32), np.asarray(faces, np.int64)
+
+
+def _dedup_vertices(verts: np.ndarray, faces: np.ndarray, tol: float = 1e-6):
+    """Merge coincident vertices (FleX-style dedup the reference's scenes do,
+    softgym_cloth3d.h:90-130) so seams simulate as one piece of cloth.
+    Returns (unique_verts, remapped_faces, orig->unique index map)."""
+    key = np.round(verts / tol).astype(np.int64)
+    _, first_idx, inverse = np.unique(key, axis=0, return_index=True,
+                                      return_inverse=True)
+    return verts[first_idx], inverse[faces], inverse
+
+
+def _edges_from_faces(faces: np.ndarray) -> np.ndarray:
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+    e = np.sort(e, axis=1)
+    return np.unique(e, axis=0)
+
+
+def _bend_pairs(faces: np.ndarray) -> np.ndarray:
+    """Opposite-vertex pairs across shared edges (cross-edge bend springs)."""
+    from collections import defaultdict
+    edge_faces = defaultdict(list)
+    for fi, (a, b, c) in enumerate(faces):
+        for u, v, w in ((a, b, c), (b, c, a), (c, a, b)):
+            edge_faces[(min(u, v), max(u, v))].append(w)
+    pairs = set()
+    for opp in edge_faces.values():
+        for i in range(len(opp)):
+            for j in range(i + 1, len(opp)):
+                if opp[i] != opp[j]:
+                    pairs.add((min(opp[i], opp[j]), max(opp[i], opp[j])))
+    if not pairs:
+        return np.zeros((0, 2), np.int64)
+    return np.asarray(sorted(pairs), np.int64)
+
+
+class ClothSim:
+    """One cloth + kinematic picker spheres + pinhole camera renderer."""
+
+    def __init__(self, particle_radius: float = 0.00625,
+                 substeps: int = 4, iterations: int = 12,
+                 dt: float = 1.0 / 100.0, damping: float = 0.995,
+                 ground_friction: float = 0.3,
+                 native: Optional[bool] = None):
+        self.particle_radius = particle_radius
+        self.substeps = substeps
+        self.iterations = iterations
+        self.dt = dt
+        self.damping = damping
+        self.ground_friction = ground_friction
+        self.camera_params: Dict = {k: (v.copy() if isinstance(v, np.ndarray) else v)
+                                    for k, v in DEFAULT_CAMERA.items()}
+        self._native = load_native() if native in (None, True) else None
+        if native is True and self._native is None:
+            raise RuntimeError("native bifold_sim library not built "
+                               "(run `make -C csrc`)")
+        self._clear()
+
+    # ------------------------------------------------------------------
+    # Scene setup
+    # ------------------------------------------------------------------
+
+    def _clear(self):
+        self.positions = np.zeros((0, 4), np.float32)
+        self.velocities = np.zeros((0, 3), np.float32)
+        self.faces = np.zeros((0, 3), np.int64)
+        self.edges = np.zeros((0, 2), np.int64)
+        self.rest_lengths = np.zeros((0,), np.float32)
+        self.stretch_stiffness = np.zeros((0,), np.float32)
+        self.shape_states = np.zeros((0, 14), np.float32)
+        self.shape_radii = np.zeros((0,), np.float32)
+        self.colors = np.zeros((0, 3), np.float32)
+
+    def set_cloth(self, vertices: np.ndarray, faces: np.ndarray, *,
+                  mass: float = 0.5, stretch: float = 0.9,
+                  bend: float = 0.3, dedup: bool = True,
+                  color=(0.85, 0.35, 0.25)):
+        """Install a cloth mesh; constraints from face edges + bend pairs."""
+        vertices = np.asarray(vertices, np.float32)
+        faces = np.asarray(faces, np.int64)
+        if dedup:
+            vertices, faces, _ = _dedup_vertices(vertices, faces)
+        n = len(vertices)
+        inv_mass = np.full((n,), n / max(mass, 1e-9), np.float32)
+        self.positions = np.concatenate(
+            [vertices, inv_mass[:, None]], axis=1).astype(np.float32)
+        self.velocities = np.zeros((n, 3), np.float32)
+        self.faces = faces
+        stretch_edges = _edges_from_faces(faces)
+        bend_edges = _bend_pairs(faces)
+        self.edges = np.concatenate([stretch_edges, bend_edges])
+        p = vertices
+        self.rest_lengths = np.linalg.norm(
+            p[self.edges[:, 0]] - p[self.edges[:, 1]], axis=1).astype(np.float32)
+        self.stretch_stiffness = np.concatenate([
+            np.full(len(stretch_edges), stretch, np.float32),
+            np.full(len(bend_edges), bend, np.float32)])
+        # per-vertex constraint valence: Jacobi corrections are averaged (not
+        # summed) per vertex, otherwise dense constraint stencils diverge
+        valence = np.zeros(n, np.int64)
+        np.add.at(valence, self.edges.reshape(-1), 1)
+        self.valence = np.maximum(valence, 1).astype(np.float32)
+        self.colors = np.tile(np.asarray(color, np.float32), (n, 1))
+
+    def add_sphere(self, radius: float, pos, quat=(1.0, 0.0, 0.0, 0.0)):
+        state = np.zeros((1, 14), np.float32)
+        state[0, :3] = pos
+        state[0, 3:6] = pos
+        state[0, 6:10] = quat
+        state[0, 10:14] = quat
+        self.shape_states = np.concatenate([self.shape_states, state])
+        self.shape_radii = np.concatenate(
+            [self.shape_radii, np.asarray([radius], np.float32)])
+
+    # ------------------------------------------------------------------
+    # pyflex-style state I/O (softgym caches round-trip through these)
+    # ------------------------------------------------------------------
+
+    def get_positions(self) -> np.ndarray:
+        return self.positions.copy()
+
+    def set_positions(self, pos) -> None:
+        self.positions = np.asarray(pos, np.float32).reshape(-1, 4).copy()
+
+    def get_velocities(self) -> np.ndarray:
+        return self.velocities.copy()
+
+    def set_velocities(self, vel) -> None:
+        self.velocities = np.asarray(vel, np.float32).reshape(-1, 3).copy()
+
+    def get_shape_states(self) -> np.ndarray:
+        return self.shape_states.copy()
+
+    def set_shape_states(self, states) -> None:
+        self.shape_states = np.asarray(states, np.float32).reshape(-1, 14).copy()
+
+    def set_camera_params(self, params: Dict) -> None:
+        self.camera_params = {k: (np.asarray(v).copy() if isinstance(v, (list, np.ndarray))
+                                  else v) for k, v in params.items()}
+
+    # ------------------------------------------------------------------
+    # Dynamics
+    # ------------------------------------------------------------------
+
+    def step(self) -> None:
+        if self._native is not None and self._native.step(self):
+            return
+        self._step_numpy()
+
+    def _step_numpy(self) -> None:
+        n = len(self.positions)
+        if n == 0:
+            return
+        h = self.dt / self.substeps
+        pos = self.positions[:, :3].astype(np.float64)
+        inv_m = self.positions[:, 3].astype(np.float64)
+        vel = self.velocities.astype(np.float64)
+        free = inv_m > 0
+
+        i0 = self.edges[:, 0]
+        i1 = self.edges[:, 1]
+        w0 = inv_m[i0]
+        w1 = inv_m[i1]
+        wsum = w0 + w1
+        k = self.stretch_stiffness.astype(np.float64)
+        rest = self.rest_lengths.astype(np.float64)
+        active = wsum > 0
+
+        valence = getattr(self, "valence", np.ones(n, np.float32)).astype(np.float64)
+        sph_pos = self.shape_states[:, :3].astype(np.float64)
+        sph_r = self.shape_radii.astype(np.float64) if len(self.shape_radii) else None
+
+        for _ in range(self.substeps):
+            vel[free, 1] -= 9.8 * h
+            vel *= self.damping
+            prev = pos.copy()
+            pos = pos + vel * h
+
+            for _ in range(self.iterations):
+                d = pos[i0] - pos[i1]
+                dist = np.sqrt((d * d).sum(axis=1)) + 1e-12
+                corr = (dist - rest) / dist / np.maximum(wsum, 1e-12) * k
+                corr = np.where(active, corr, 0.0)
+                dp = d * corr[:, None]
+                # Jacobi accumulation with under-relaxation
+                delta = np.zeros_like(pos)
+                np.add.at(delta, i0, -dp * w0[:, None])
+                np.add.at(delta, i1, dp * w1[:, None])
+                pos += 1.5 * delta / valence[:, None]
+
+                # ground plane y >= 0 (particle radius offset)
+                floor = self.particle_radius * 0.5
+                below = pos[:, 1] < floor
+                if below.any():
+                    # simple Coulomb-ish friction: damp tangential motion of
+                    # particles resting on the floor
+                    tangent = pos[below][:, [0, 2]] - prev[below][:, [0, 2]]
+                    pos[below, 0] -= tangent[:, 0] * self.ground_friction
+                    pos[below, 2] -= tangent[:, 1] * self.ground_friction
+                    pos[below, 1] = floor
+
+                # sphere colliders (pickers)
+                if sph_r is not None and len(sph_pos):
+                    for s in range(len(sph_pos)):
+                        rr = sph_r[s] + self.particle_radius * 0.5
+                        dvec = pos - sph_pos[s]
+                        ddist = np.sqrt((dvec * dvec).sum(axis=1)) + 1e-12
+                        pen = ddist < rr
+                        if pen.any():
+                            pos[pen] = (sph_pos[s]
+                                        + dvec[pen] / ddist[pen, None] * rr)
+
+            vel = (pos - prev) / h
+            vel[~free] = 0.0
+
+        self.positions[:, :3] = pos.astype(np.float32)
+        self.velocities = vel.astype(np.float32)
+
+    # ------------------------------------------------------------------
+    # Rendering
+    # ------------------------------------------------------------------
+
+    def _camera_matrix(self) -> np.ndarray:
+        from bifold_tpu.ops.geometry import matrix_world_to_camera
+        return matrix_world_to_camera(self.camera_params["pos"],
+                                      self.camera_params["angle"])
+
+    def render(self, width: Optional[int] = None,
+               height: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+        """(rgba uint8 (H, W, 4), depth float32 (H, W)).
+
+        Depth = camera-space z (what get_world_coord_from_pixel unprojects,
+        softgym_cloth_env.py:61-82); empty pixels get the far-plane depth 2.0
+        (> the 0.996 mask threshold, like FleX's far background) so
+        get_mask_from_depth sees background and bilinear resize at cloth
+        borders blends upward, not toward zero. Row 0 = image TOP
+        (the reference flips the GL buffer; we rasterize top-down directly).
+        """
+        width = width or int(self.camera_params["width"])
+        height = height or int(self.camera_params["height"])
+        if self._native is not None:
+            out = self._native.render(self, width, height)
+            if out is not None:
+                return out
+        return self._render_numpy(width, height)
+
+    def _render_numpy(self, width: int, height: int):
+        from bifold_tpu.ops.geometry import intrinsic_from_fov
+        m = self._camera_matrix()
+        k = intrinsic_from_fov(height, width, fov=45)
+        fx, fy, u0, v0 = k[0, 0], k[1, 1], k[0, 2], k[1, 2]
+
+        depth = np.full((height, width), _FAR_DEPTH, np.float32)
+        color = np.full((height, width, 3), 255, np.uint8)
+
+        if len(self.positions) == 0:
+            rgba = np.concatenate(
+                [color, np.full((height, width, 1), 255, np.uint8)], axis=-1)
+            return rgba, depth
+
+        pts = self.positions[:, :3]
+        hom = np.concatenate([pts, np.ones((len(pts), 1), np.float32)], axis=1)
+        cam = (m @ hom.T).T[:, :3]
+        z = cam[:, 2]
+        u = cam[:, 0] * fx / np.maximum(z, 1e-9) + u0
+        v = cam[:, 1] * fy / np.maximum(z, 1e-9) + v0
+
+        # flat-shaded triangles, painter-free z-buffer
+        zbuf = np.full((height, width), np.inf, np.float32)
+        tri = self.faces
+        tz = z[tri].mean(axis=1)
+        order = np.argsort(-tz)  # far to near; zbuf still guards correctness
+        light = np.array([0.3, 0.9, 0.2])
+        light = light / np.linalg.norm(light)
+        p3 = pts[tri]
+        n3 = np.cross(p3[:, 1] - p3[:, 0], p3[:, 2] - p3[:, 0])
+        n3 /= np.linalg.norm(n3, axis=1, keepdims=True) + 1e-12
+        lam = 0.55 + 0.45 * np.abs(n3 @ light)
+        base = self.colors[tri[:, 0]]
+
+        for t in order:
+            if tz[t] <= 1e-6:
+                continue
+            ia, ib, ic = tri[t]
+            xs = np.array([u[ia], u[ib], u[ic]])
+            ys = np.array([v[ia], v[ib], v[ic]])
+            zs = np.array([z[ia], z[ib], z[ic]])
+            x_min = max(int(np.floor(xs.min())), 0)
+            x_max = min(int(np.ceil(xs.max())) + 1, width)
+            y_min = max(int(np.floor(ys.min())), 0)
+            y_max = min(int(np.ceil(ys.max())) + 1, height)
+            if x_min >= x_max or y_min >= y_max:
+                continue
+            gx, gy = np.meshgrid(np.arange(x_min, x_max) + 0.5,
+                                 np.arange(y_min, y_max) + 0.5)
+            d = ((ys[1] - ys[2]) * (xs[0] - xs[2])
+                 + (xs[2] - xs[1]) * (ys[0] - ys[2]))
+            if abs(d) < 1e-12:
+                continue
+            w0 = ((ys[1] - ys[2]) * (gx - xs[2]) + (xs[2] - xs[1]) * (gy - ys[2])) / d
+            w1 = ((ys[2] - ys[0]) * (gx - xs[2]) + (xs[0] - xs[2]) * (gy - ys[2])) / d
+            w2 = 1.0 - w0 - w1
+            inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+            if not inside.any():
+                continue
+            zi = w0 * zs[0] + w1 * zs[1] + w2 * zs[2]
+            sub_z = zbuf[y_min:y_max, x_min:x_max]
+            closer = inside & (zi < sub_z)
+            sub_z[closer] = zi[closer]
+            shade = np.clip(base[t] * lam[t] * 255.0, 0, 255).astype(np.uint8)
+            sub_c = color[y_min:y_max, x_min:x_max]
+            sub_c[closer] = shade
+            zbuf[y_min:y_max, x_min:x_max] = sub_z
+            color[y_min:y_max, x_min:x_max] = sub_c
+
+        hit = np.isfinite(zbuf)
+        depth[hit] = zbuf[hit]
+        rgba = np.concatenate(
+            [color, np.full((height, width, 1), 255, np.uint8)], axis=-1)
+        return rgba, depth

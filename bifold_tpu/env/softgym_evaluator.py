@@ -1,0 +1,284 @@
+"""Closed-loop simulator evaluation: oracle rollout vs model rollout.
+
+Counterpart of /root/reference/bifold/env/softgym_evaluator.py: per task
+(CornerFold/TriangleFold/StraightFold/TshirtFold/TrousersFold) x trials x 3
+instruction regimes (seen / unseen-instruction / unseen-task), a cached scene
+is reset with a random rotation, the scripted oracle executes the fold from
+keypoints first, the env resets, and the model rolls out from rendered RGB-D
++ instruction; metrics are mean particle error vs the oracle result
+(success = error < 2*particle_radius), mask IoU, and IoU-success thresholds
+(softgym_evaluator.py:131-421).
+
+The model side is injected as a ``policy(sample_batch) -> (Action, raw)``
+callable so the evaluator doesn't depend on the Trainer; ``run_softgym_eval``
+adapts a Trainer into one.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from bifold_tpu.data.utils import get_mask_from_depth
+from bifold_tpu.env.cloth_env import ClothEnv, rotate_particles
+from bifold_tpu.env.demonstrators import Demonstrator
+from bifold_tpu.metrics.utils import iou
+
+__all__ = ["task_to_cloth_type", "SoftgymEvaluator", "SoftgymSingleEvaluator",
+           "run_softgym_eval", "batchify"]
+
+task_to_cloth_type = {
+    "CornerFold": "Square",
+    "TriangleFold": "Square",
+    "StraightFold": "Rectangular",
+    "TshirtFold": "Tshirt",
+    "TrousersFold": "Trousers",
+}
+
+TASKS = list(task_to_cloth_type)
+
+
+def batchify(sample: Dict) -> Dict:
+    """Per-sample processor output -> batch-1 dict for the jitted model path."""
+    out = {}
+    for k, v in sample.items():
+        if isinstance(v, np.ndarray):
+            out[k] = v[None]
+        else:
+            out[k] = [v]
+    return out
+
+
+class SoftgymEvaluator:
+    def __init__(self, cache_dir: str, policy: Callable, processor,
+                 image_size: int = 224, particle_radius: float = 0.00625,
+                 visualize_predictions: bool = False,
+                 run_dir: Optional[str] = None):
+        self.cache = cache_dir
+        self.policy = policy
+        self.processor = processor
+        self.visualize_predictions = visualize_predictions
+        self.run_dir = run_dir
+
+        self.env = ClothEnv(render_dim=image_size,
+                            particle_radius=particle_radius,
+                            dump_visualizations=visualize_predictions)
+        self.K = self.env.intrinsic_from_fov(image_size, image_size)
+        self.error_threshold = self.env.particle_radius * 2
+        self.iou_thresholds = [50, 80, 90]
+        self.success: Dict = {}
+        self.additional_metrics: Dict = {}
+        self.cloth3d = False
+
+    # ------------------------------------------------------------------
+
+    def load_cache(self, cloth_type: str) -> None:
+        path = os.path.join(self.cache, cloth_type + ".pkl")
+        if not os.path.exists(path):
+            from bifold_tpu.env.cache_builder import build_cache
+            build_cache(cloth_type, self.cache, n_configs=5)
+        with open(path, "rb") as f:
+            config_data = pickle.load(f)
+        self.cached_configs = config_data["configs"]
+        self.cached_states = config_data["states"]
+        self.cached_keypoints = config_data.get("keypoints")
+
+    def reset(self, config, state, task: Optional[str] = None,
+              random_angle: Optional[float] = None, max_wait_step: int = 120,
+              stable_vel_threshold: float = 0.2) -> None:
+        self.demonstrator = Demonstrator[task]()
+        self.env.reset(config=config, state=state, cloth3d=self.cloth3d,
+                       pick_speed=self.demonstrator.pick_speed,
+                       move_speed=self.demonstrator.move_speed,
+                       place_speed=self.demonstrator.place_speed,
+                       lift_height=self.demonstrator.lift_height)
+        self.task = task or ""
+        if random_angle:
+            rotate_particles(self.env, [0, random_angle, 0])
+            for _ in range(max_wait_step):
+                self.env.sim.step()
+                if np.all(np.abs(self.env.sim.get_velocities())
+                          < stable_vel_threshold):
+                    break
+
+    def close(self) -> None:
+        self.env.close()
+
+    def summary(self) -> Dict[str, float]:
+        return_dict: Dict[str, float] = {}
+        average_success = []
+        for task, task_dict in self.success.items():
+            if isinstance(task_dict, dict):
+                for k, vals in task_dict.items():
+                    avg = float(np.array(vals).mean() * 100)
+                    return_dict[f"{task} {k}"] = avg
+                    average_success.append(avg)
+            else:
+                avg = float(np.array(task_dict).mean() * 100)
+                return_dict[task] = avg
+                average_success.append(avg)
+        for metric, metric_dicts in self.additional_metrics.items():
+            for task, task_dict in metric_dicts.items():
+                if isinstance(task_dict, dict):
+                    for k, vals in task_dict.items():
+                        return_dict[f"{metric} {task} {k}"] = float(np.array(vals).mean())
+                else:
+                    return_dict[f"{metric} {task}"] = float(np.array(task_dict).mean())
+        if average_success:
+            return_dict["average_success"] = float(np.mean(average_success))
+        return return_dict
+
+
+class SoftgymSingleEvaluator(SoftgymEvaluator):
+    """Unimanual eval: 5 tasks x trials x 3 regimes
+    (reference softgym_evaluator.py:131-421)."""
+
+    def evaluate(self, num_evals: int, task: str, seed: Optional[int] = None) -> None:
+        cloth_type = task_to_cloth_type[task]
+        self.cloth3d = cloth_type not in ("Square", "Rectangular")
+        self.load_cache(cloth_type)
+        rng = np.random.default_rng(seed)
+
+        if task not in self.success:
+            self.success[task] = {}
+            for k in (["error", "iou"]
+                      + [f"iou_success_{t}" for t in self.iou_thresholds]):
+                self.additional_metrics.setdefault(k, {})[task] = {}
+
+        for trial in range(num_evals):
+            rand_idx = int(rng.integers(len(self.cached_configs)))
+            config = self.cached_configs[rand_idx]
+            state = self.cached_states[rand_idx]
+            if task == "StraightFold":
+                random_angle = float(rng.uniform(-80, 80))
+            elif self.cloth3d:
+                random_angle = float(rng.uniform(-40, 40))
+            else:
+                random_angle = float(rng.uniform(0, 40))
+
+            self.reset(config=config, state=state, task=task,
+                       random_angle=random_angle)
+            if self.cloth3d and self.cached_keypoints is not None:
+                keypoints_index = self.cached_keypoints[rand_idx]
+            else:
+                keypoints_index = self.env.get_square_keypoints_idx()
+
+            if task == "StraightFold":
+                angle_mode = int(abs(random_angle) > 45) + int(random_angle < -45)
+                eval_datas = self.demonstrator.get_eval_instruction(angle_mode)
+            else:
+                eval_datas = self.demonstrator.get_eval_instruction()
+
+            for eval_index, (eval_data, eval_name) in enumerate(
+                    zip(eval_datas, ["si", "usi", "ut"])):
+                if eval_name not in self.success[task]:
+                    self.success[task][eval_name] = []
+                    for k in self.additional_metrics:
+                        self.additional_metrics[k][task][eval_name] = []
+
+                self.reset(config=config, state=state, task=task,
+                           random_angle=random_angle)
+                oracle_results, oracle_masks = self.execute_oracle(
+                    eval_data["pick"], eval_data["place"], eval_data["gammas"],
+                    keypoints_index)
+
+                self.reset(config=config, state=state, task=task,
+                           random_angle=random_angle)
+                self.execute_model(eval_data, keypoints_index, eval_index,
+                                   eval_name, oracle_results, oracle_masks)
+
+    # ------------------------------------------------------------------
+
+    def execute_oracle(self, pick_idxs, place_idxs, gammas, keypoints_index):
+        oracle_results, oracle_masks = [], []
+        for pick_idx, place_idx, gamma in zip(pick_idxs, place_idxs, gammas):
+            keypoints_pos = self.env.get_keypoints(keypoints_index)
+            pick_pos = keypoints_pos[pick_idx]
+            place_pos = pick_pos + gamma * (keypoints_pos[place_idx] - pick_pos)
+            self.env.pick_and_place_single(pick_pos.copy(), place_pos.copy())
+            _, depth = self.env.render_image()
+            oracle_masks.append(get_mask_from_depth(depth))
+            oracle_results.append(self.env.sim.get_positions()[:, :3])
+        return oracle_results, oracle_masks
+
+    def execute_model(self, eval_data, keypoints_index, eval_index, eval_name,
+                      oracle_results, oracle_masks) -> None:
+        rgb, depth = self.env.render_image()
+        mask = get_mask_from_depth(depth)
+        context: List[Dict] = []
+
+        rows = zip(eval_data["pick"], eval_data["place"], eval_data["gammas"],
+                   eval_data["instructions"], eval_data["flags"])
+        for action_index, (pick_idx, place_idx, gamma, instruction,
+                           unseen_flag) in enumerate(rows):
+            sample = self.processor(
+                depth=depth, instruction=instruction, rgb=rgb, mask=mask,
+                context=context, matrix_world_to_camera=self.env.camera_matrix,
+                K=self.K)
+
+            # regime dispatch (reference :325-355): within si/usi an action
+            # flagged unseen is executed by the oracle; within ut only the
+            # flagged (novel) actions go to the model.
+            model_turn = (unseen_flag == 0) if eval_index < 2 else (unseen_flag == 1)
+            if model_turn:
+                action, _raw = self.policy(batchify(sample))
+                pick_pos = self.env.get_world_coord_from_pixel(
+                    np.asarray(action.pick).reshape(-1)[:2], depth)
+                place_pos = self.env.get_world_coord_from_pixel(
+                    np.asarray(action.place).reshape(-1)[:2], depth)
+            else:
+                keypoints_pos = self.env.get_keypoints(keypoints_index)
+                pick_pos = keypoints_pos[pick_idx]
+                place_pos = pick_pos + gamma * (keypoints_pos[place_idx] - pick_pos)
+
+            self.env.pick_and_place_single(np.array(pick_pos), np.array(place_pos))
+
+            context.append({"rgb": rgb.copy(), "depth": depth.copy(),
+                            "mask": mask.copy()})
+            rgb, depth = self.env.render_image()
+            mask = get_mask_from_depth(depth)
+
+            particle_pos = self.env.sim.get_positions()[:, :3]
+            error = float(np.linalg.norm(
+                oracle_results[action_index] - particle_pos, axis=1).mean())
+            success = error < self.error_threshold
+            iou_value = iou(mask, oracle_masks[action_index])
+
+            self.success[self.task][eval_name].append(success)
+            self.additional_metrics["error"][self.task][eval_name].append(error)
+            self.additional_metrics["iou"][self.task][eval_name].append(iou_value)
+            for thresh in self.iou_thresholds:
+                self.additional_metrics[f"iou_success_{thresh}"][self.task][
+                    eval_name].append((iou_value > thresh) * 100)
+
+
+def run_softgym_eval(trainer) -> tuple:
+    """Trainer adapter: run all 5 unimanual tasks (or the bimanual replay eval
+    for bimanual models) and return (has_improved, metric_dict) like
+    eval_epoch_pixel."""
+    cfg = trainer.cfg
+    policy = lambda batch: trainer.get_action(batch, return_raw_output=True)  # noqa: E731
+    if trainer.model.is_bimanual:
+        from bifold_tpu.env.bimanual_evaluator import SoftgymBimanualEvaluator
+        evaluator = SoftgymBimanualEvaluator(
+            cache_dir=cfg["softgym_cache"], policy=policy,
+            processor=trainer.processor,
+            image_size=int(dict(cfg["model"])["image_size"]),
+            run_dir=str(trainer.run_dir))
+        evaluator.evaluate(dataloader=trainer.test_dataloader,
+                           num_evals=int(cfg.get("num_evals", 50)))
+    else:
+        evaluator = SoftgymSingleEvaluator(
+            cache_dir=cfg["softgym_cache"], policy=policy,
+            processor=trainer.processor,
+            image_size=int(dict(cfg["model"])["image_size"]),
+            run_dir=str(trainer.run_dir))
+        for task in TASKS:
+            evaluator.evaluate(num_evals=int(cfg.get("num_evals", 50)),
+                               task=task, seed=int(cfg.get("seed", 0)))
+    metrics = evaluator.summary()
+    evaluator.close()
+    return False, metrics

@@ -1,0 +1,168 @@
+"""Environment layer: simulator determinism, primitives, garments,
+demonstrators, cache builder, and a 1-trial closed-loop evaluator smoke with
+a scripted policy (counterpart of the reference's de-facto sim integration
+tests — it has none; SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from bifold_tpu.data.utils import get_mask_from_depth
+from bifold_tpu.env.cloth_env import ClothEnv, rotate_particles, square_cloth_config
+from bifold_tpu.env.demonstrators import Demonstrator
+from bifold_tpu.env.garments import trousers_mesh, tshirt_mesh
+
+
+@pytest.fixture(scope="module")
+def env():
+    e = ClothEnv(render_dim=128, native=False, substeps=2, iterations=8)
+    e.reset(square_cloth_config(16, 16), settle_steps=10)
+    return e
+
+
+def test_sim_determinism():
+    states = []
+    for _ in range(2):
+        e = ClothEnv(render_dim=64, native=False, substeps=2, iterations=8)
+        e.reset(square_cloth_config(12, 12), settle_steps=5)
+        for _ in range(10):
+            e.sim.step()
+        states.append(e.sim.get_positions())
+    np.testing.assert_array_equal(states[0], states[1])
+
+
+def test_cloth_settles_flat(env):
+    pos = env.sim.get_positions()[:, :3]
+    assert pos[:, 1].max() < 0.02  # resting near the floor
+    assert abs(pos[:, 0].max() - pos[:, 0].min() - 15 * 0.00625) < 0.02
+
+
+def test_render_and_mask(env):
+    rgb, depth = env.render_image()
+    assert rgb.shape == (128, 128, 3)
+    mask = get_mask_from_depth(depth)
+    frac = mask.mean()
+    assert 0.01 < frac < 0.5  # cloth visible, not the whole frame
+    # depth under the cloth ~ camera height minus cloth height
+    cloth_depth = depth[mask > 0]
+    assert np.all(cloth_depth < 0.996)
+    assert abs(np.median(cloth_depth) - 0.65) < 0.05
+
+
+def test_pixel_world_roundtrip(env):
+    _, depth = env.render_image()
+    mask = get_mask_from_depth(depth)
+    ys, xs = np.nonzero(mask)
+    mid = len(xs) // 2
+    pixel = np.array([xs[mid], ys[mid]], float)
+    world = env.get_world_coord_from_pixel(pixel, depth)
+    pos = env.sim.get_positions()[:, :3]
+    nearest = np.linalg.norm(pos - world, axis=1).min()
+    assert nearest < 0.02  # unprojected pixel lands on the cloth
+
+
+def test_pick_and_place_moves_corner():
+    e = ClothEnv(render_dim=64, native=False, substeps=2, iterations=8)
+    e.reset(square_cloth_config(16, 16), settle_steps=10)
+    kps = e.get_square_keypoints_idx()
+    before = e.get_keypoints(kps)
+    e.pick_and_place_single(before[0].copy(), before[4].copy())
+    after = e.get_keypoints(kps)
+    d_before = np.linalg.norm(before[0][[0, 2]] - before[4][[0, 2]])
+    d_after = np.linalg.norm(after[0][[0, 2]] - before[4][[0, 2]])
+    assert d_after < 0.5 * d_before  # corner carried toward the center
+    assert after[8][1] < 0.02  # opposite corner stayed down
+
+
+def test_rotate_particles():
+    e = ClothEnv(render_dim=64, native=False, substeps=2, iterations=8)
+    e.reset(square_cloth_config(16, 12), settle_steps=5)
+    pos0 = e.sim.get_positions()[:, :3]
+    rotate_particles(e, [0, 90, 0])
+    pos1 = e.sim.get_positions()[:, :3]
+    # extents swap under a 90-degree yaw
+    ext0 = pos0.max(0) - pos0.min(0)
+    ext1 = pos1.max(0) - pos1.min(0)
+    assert abs(ext0[0] - ext1[2]) < 1e-3 and abs(ext0[2] - ext1[0]) < 1e-3
+
+
+def test_garment_keypoint_semantics():
+    verts, faces, kp = tshirt_mesh()
+    assert len(kp) == 8 and faces.min() >= 0 and faces.max() < len(verts)
+    # left sleeve (2) left of right sleeve (5); shoulders (0, 1) above hems (6, 7)
+    assert verts[kp[2], 0] < verts[kp[5], 0]
+    assert verts[kp[0], 2] < verts[kp[6], 2]
+
+    verts, faces, kp = trousers_mesh()
+    assert len(kp) == 8
+    xs = verts[np.asarray(kp[:4]), 0]
+    assert np.all(np.diff(xs) > 0)  # waist keypoints ordered left -> right
+    assert verts[kp[0], 2] < verts[kp[4], 2]  # waist above hem
+
+
+@pytest.mark.parametrize("task", ["CornerFold", "TriangleFold", "StraightFold",
+                                  "TshirtFold", "TrousersFold"])
+def test_demonstrator_eval_structure(task):
+    demo = Demonstrator[task]()
+    args = (0,) if task == "StraightFold" else ()
+    seen, unseen_instr, unseen_task = demo.get_eval_instruction(*args)
+    n = len(demo.gammas)
+    for regime in (seen, unseen_instr, unseen_task):
+        assert len(regime["pick"]) == len(regime["place"]) == n
+        assert len(regime["instructions"]) == len(regime["flags"]) == n
+        assert all(isinstance(s, str) and len(s) > 10
+                   for s in regime["instructions"])
+    assert seen["pick"] == unseen_instr["pick"]  # same actions, new phrasing
+    assert seen["instructions"] != unseen_instr["instructions"]
+
+
+def test_straightfold_angle_modes():
+    demo = Demonstrator["StraightFold"]()
+    for mode in (0, 1, 2):
+        seen, _, _ = demo.get_eval_instruction(mode)
+        assert len(seen["pick"]) == 3
+
+
+def test_cache_builder_square(tmp_path):
+    from bifold_tpu.env.cache_builder import build_cache
+    path = build_cache("Square", tmp_path, n_configs=2, settle_steps=10)
+    import pickle
+    with open(path, "rb") as f:
+        data = pickle.load(f)
+    assert len(data["configs"]) == len(data["states"]) == 2
+    st = data["states"][0]
+    assert st["particle_pos"].shape[1] == 4
+    assert st["max_area"] > 0
+
+
+def test_evaluator_one_trial(tmp_path):
+    """Closed loop with a scripted center-pixel policy: runs end-to-end and
+    records all metric streams."""
+    from bifold_tpu.data.processor import Processor
+    from bifold_tpu.env.action import Action
+    from bifold_tpu.env.softgym_evaluator import SoftgymSingleEvaluator
+
+    proc = Processor(
+        {"model_image_size": 64, "text_encoder": None, "sigma": 5,
+         "requires_graph": False, "spatial_augment": False, "strategy": "gmm",
+         "mask_depth": True, "standardize_depth": False},
+        partition="test", max_context_length=3)
+
+    def policy(batch):
+        mask = np.asarray(batch["mask"])[0, 0]
+        ys, xs = np.nonzero(mask > 0)
+        if len(xs) == 0:
+            ys = xs = np.array([32])
+        p = np.array([[xs.mean(), ys.mean()]])
+        return Action(pick=p, place=p + 2), None
+
+    ev = SoftgymSingleEvaluator(cache_dir=str(tmp_path), policy=policy,
+                                processor=proc, image_size=64)
+    ev.env = ClothEnv(render_dim=64, native=False, substeps=2, iterations=6)
+    ev.K = ev.env.intrinsic_from_fov(64, 64)
+    ev.error_threshold = ev.env.particle_radius * 2
+    ev.evaluate(num_evals=1, task="CornerFold", seed=0)
+    summary = ev.summary()
+    assert "CornerFold si" in summary
+    assert "error CornerFold si" in summary
+    assert "average_success" in summary
+    assert 0 <= summary["average_success"] <= 100

@@ -17,7 +17,7 @@ def tiny_cfg(tmp_path, extra=()):
         "train_dataset.n_samples=16", "train_dataset.image_size=64",
         "model.image_size=64", "model.automodel_name=tiny", "model.dim=64",
         "model.depth=1", "model.heads=4", "model.r=2",
-        "epochs=2", "eval_epochs=2", "batch_size=8", "test_batch_size=8",
+        "epochs=2", "eval_epochs=2", "batch_size=8", "test_batch_size=8", "simulator=null",
         f"run_dir={tmp_path}/run", "log_every=1", *extra,
     ])
 
