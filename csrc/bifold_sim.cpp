@@ -1,0 +1,240 @@
+// bifold_sim: native core of the cloth simulator (step + render).
+//
+// C ABI mirror of the numpy backend in bifold_tpu/env/sim.py — the
+// counterpart of the reference's native layer (deps/PyFlex: FleX CUDA solver
+// + OpenGL renderer behind pybind11). Loaded via ctypes
+// (bifold_tpu/env/native.py); no pybind11 needed. The math matches the numpy
+// implementation operation-for-operation (Jacobi XPBD with valence-averaged
+// corrections, ground friction, sphere colliders; barycentric z-buffer
+// rasterization with camera-space depth) so the two backends produce the
+// same trajectories up to float ordering.
+//
+// Build: make -C csrc     ->  csrc/build/libbifold_sim.so
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+inline float len3(const float* a) {
+  return std::sqrt(a[0] * a[0] + a[1] * a[1] + a[2] * a[2]);
+}
+
+}  // namespace
+
+extern "C" {
+
+// One frame: substeps x (integrate; iterations x (constraints, collisions)).
+// positions: (N, 4) xyz + inv_mass, updated in place. velocities: (N, 3).
+// Returns 0 on success.
+int bifold_step(float* positions, float* velocities, int64_t n,
+                const int64_t* edges, const float* rest, const float* stiff,
+                int64_t n_edges, const float* shape_states,
+                const float* shape_radii, int64_t n_shapes, float dt,
+                float damping, float friction, int substeps, int iterations,
+                float particle_radius) {
+  if (n == 0) return 0;
+  const float h = dt / static_cast<float>(substeps);
+  const float floor_y = particle_radius * 0.5f;
+
+  std::vector<double> pos(3 * n), vel(3 * n), prev(3 * n), delta(3 * n);
+  std::vector<double> inv_m(n);
+  std::vector<float> valence(n, 0.f);
+  for (int64_t i = 0; i < n; ++i) {
+    pos[3 * i + 0] = positions[4 * i + 0];
+    pos[3 * i + 1] = positions[4 * i + 1];
+    pos[3 * i + 2] = positions[4 * i + 2];
+    inv_m[i] = positions[4 * i + 3];
+    vel[3 * i + 0] = velocities[3 * i + 0];
+    vel[3 * i + 1] = velocities[3 * i + 1];
+    vel[3 * i + 2] = velocities[3 * i + 2];
+  }
+  for (int64_t e = 0; e < n_edges; ++e) {
+    valence[edges[2 * e]] += 1.f;
+    valence[edges[2 * e + 1]] += 1.f;
+  }
+  for (int64_t i = 0; i < n; ++i)
+    if (valence[i] < 1.f) valence[i] = 1.f;
+
+  for (int s = 0; s < substeps; ++s) {
+    for (int64_t i = 0; i < n; ++i) {
+      if (inv_m[i] > 0) vel[3 * i + 1] -= 9.8 * h;
+      vel[3 * i + 0] *= damping;
+      vel[3 * i + 1] *= damping;
+      vel[3 * i + 2] *= damping;
+    }
+    std::memcpy(prev.data(), pos.data(), sizeof(double) * 3 * n);
+    for (int64_t i = 0; i < n; ++i) {
+      pos[3 * i + 0] += vel[3 * i + 0] * h;
+      pos[3 * i + 1] += vel[3 * i + 1] * h;
+      pos[3 * i + 2] += vel[3 * i + 2] * h;
+    }
+
+    for (int it = 0; it < iterations; ++it) {
+      std::fill(delta.begin(), delta.end(), 0.0);
+      for (int64_t e = 0; e < n_edges; ++e) {
+        const int64_t a = edges[2 * e], b = edges[2 * e + 1];
+        const double wa = inv_m[a], wb = inv_m[b];
+        const double wsum = wa + wb;
+        if (wsum <= 0) continue;
+        double d[3] = {pos[3 * a] - pos[3 * b], pos[3 * a + 1] - pos[3 * b + 1],
+                       pos[3 * a + 2] - pos[3 * b + 2]};
+        const double dist =
+            std::sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2]) + 1e-12;
+        const double corr = (dist - rest[e]) / dist / wsum * stiff[e];
+        for (int k = 0; k < 3; ++k) {
+          const double dp = d[k] * corr;
+          delta[3 * a + k] -= dp * wa;
+          delta[3 * b + k] += dp * wb;
+        }
+      }
+      for (int64_t i = 0; i < n; ++i)
+        for (int k = 0; k < 3; ++k)
+          pos[3 * i + k] += 1.5 * delta[3 * i + k] / valence[i];
+
+      // ground plane + friction
+      for (int64_t i = 0; i < n; ++i) {
+        if (pos[3 * i + 1] < floor_y) {
+          pos[3 * i + 0] -= (pos[3 * i + 0] - prev[3 * i + 0]) * friction;
+          pos[3 * i + 2] -= (pos[3 * i + 2] - prev[3 * i + 2]) * friction;
+          pos[3 * i + 1] = floor_y;
+        }
+      }
+      // sphere colliders (pickers): shape_states rows are 14 floats, pos at 0..2
+      for (int64_t sph = 0; sph < n_shapes; ++sph) {
+        const float* sp = shape_states + 14 * sph;
+        const double rr = shape_radii[sph] + particle_radius * 0.5;
+        for (int64_t i = 0; i < n; ++i) {
+          double dvec[3] = {pos[3 * i] - sp[0], pos[3 * i + 1] - sp[1],
+                            pos[3 * i + 2] - sp[2]};
+          const double dd =
+              std::sqrt(dvec[0] * dvec[0] + dvec[1] * dvec[1] +
+                        dvec[2] * dvec[2]) + 1e-12;
+          if (dd < rr) {
+            for (int k = 0; k < 3; ++k)
+              pos[3 * i + k] = sp[k] + dvec[k] / dd * rr;
+          }
+        }
+      }
+    }
+
+    for (int64_t i = 0; i < n; ++i) {
+      for (int k = 0; k < 3; ++k)
+        vel[3 * i + k] =
+            inv_m[i] > 0 ? (pos[3 * i + k] - prev[3 * i + k]) / h : 0.0;
+    }
+  }
+
+  for (int64_t i = 0; i < n; ++i) {
+    positions[4 * i + 0] = static_cast<float>(pos[3 * i + 0]);
+    positions[4 * i + 1] = static_cast<float>(pos[3 * i + 1]);
+    positions[4 * i + 2] = static_cast<float>(pos[3 * i + 2]);
+    velocities[3 * i + 0] = static_cast<float>(vel[3 * i + 0]);
+    velocities[3 * i + 1] = static_cast<float>(vel[3 * i + 1]);
+    velocities[3 * i + 2] = static_cast<float>(vel[3 * i + 2]);
+  }
+  return 0;
+}
+
+// Flat-shaded z-buffer rasterizer. world2cam is a row-major 4x4; out_rgba is
+// (H, W, 4) uint8, out_depth (H, W) float32 initialized here (background =
+// far depth 2.0, matching the numpy backend / mask convention).
+int bifold_render(const float* positions, int64_t n, const int64_t* faces,
+                  int64_t n_faces, const float* colors, const float* world2cam,
+                  float fx, float fy, float u0, float v0, int width,
+                  int height, uint8_t* out_rgba, float* out_depth) {
+  const float kFar = 2.0f;
+  for (int64_t p = 0; p < static_cast<int64_t>(width) * height; ++p) {
+    out_rgba[4 * p + 0] = 255;
+    out_rgba[4 * p + 1] = 255;
+    out_rgba[4 * p + 2] = 255;
+    out_rgba[4 * p + 3] = 255;
+    out_depth[p] = kFar;
+  }
+  if (n == 0 || n_faces == 0) return 0;
+
+  std::vector<float> u(n), v(n), z(n);
+  for (int64_t i = 0; i < n; ++i) {
+    const float* pw = positions + 4 * i;
+    float cam[3];
+    for (int r = 0; r < 3; ++r)
+      cam[r] = world2cam[4 * r + 0] * pw[0] + world2cam[4 * r + 1] * pw[1] +
+               world2cam[4 * r + 2] * pw[2] + world2cam[4 * r + 3];
+    z[i] = cam[2];
+    const float zz = cam[2] > 1e-9f ? cam[2] : 1e-9f;
+    u[i] = cam[0] * fx / zz + u0;
+    v[i] = cam[1] * fy / zz + v0;
+  }
+
+  const float light[3] = {0.3f / 0.99499f, 0.9f / 0.99499f, 0.2f / 0.99499f};
+
+  for (int64_t t = 0; t < n_faces; ++t) {
+    const int64_t ia = faces[3 * t], ib = faces[3 * t + 1],
+                  ic = faces[3 * t + 2];
+    const float tz = (z[ia] + z[ib] + z[ic]) / 3.f;
+    if (tz <= 1e-6f) continue;
+
+    // flat lambert from the face normal
+    float e1[3], e2[3], nvec[3];
+    for (int k = 0; k < 3; ++k) {
+      e1[k] = positions[4 * ib + k] - positions[4 * ia + k];
+      e2[k] = positions[4 * ic + k] - positions[4 * ia + k];
+    }
+    nvec[0] = e1[1] * e2[2] - e1[2] * e2[1];
+    nvec[1] = e1[2] * e2[0] - e1[0] * e2[2];
+    nvec[2] = e1[0] * e2[1] - e1[1] * e2[0];
+    const float nl = len3(nvec) + 1e-12f;
+    const float lam =
+        0.55f + 0.45f * std::fabs((nvec[0] * light[0] + nvec[1] * light[1] +
+                                   nvec[2] * light[2]) / nl);
+    uint8_t shade[3];
+    for (int k = 0; k < 3; ++k) {
+      float c = colors[3 * ia + k] * lam * 255.f;
+      shade[k] = static_cast<uint8_t>(c < 0 ? 0 : (c > 255 ? 255 : c));
+    }
+
+    const float xs[3] = {u[ia], u[ib], u[ic]};
+    const float ys[3] = {v[ia], v[ib], v[ic]};
+    const float zs[3] = {z[ia], z[ib], z[ic]};
+    int x_min = static_cast<int>(std::floor(std::fmin(xs[0], std::fmin(xs[1], xs[2]))));
+    int x_max = static_cast<int>(std::ceil(std::fmax(xs[0], std::fmax(xs[1], xs[2])))) + 1;
+    int y_min = static_cast<int>(std::floor(std::fmin(ys[0], std::fmin(ys[1], ys[2]))));
+    int y_max = static_cast<int>(std::ceil(std::fmax(ys[0], std::fmax(ys[1], ys[2])))) + 1;
+    if (x_min < 0) x_min = 0;
+    if (y_min < 0) y_min = 0;
+    if (x_max > width) x_max = width;
+    if (y_max > height) y_max = height;
+    if (x_min >= x_max || y_min >= y_max) continue;
+
+    const float d = (ys[1] - ys[2]) * (xs[0] - xs[2]) +
+                    (xs[2] - xs[1]) * (ys[0] - ys[2]);
+    if (std::fabs(d) < 1e-12f) continue;
+    for (int py = y_min; py < y_max; ++py) {
+      const float gy = py + 0.5f;
+      for (int px = x_min; px < x_max; ++px) {
+        const float gx = px + 0.5f;
+        const float w0 =
+            ((ys[1] - ys[2]) * (gx - xs[2]) + (xs[2] - xs[1]) * (gy - ys[2])) / d;
+        const float w1 =
+            ((ys[2] - ys[0]) * (gx - xs[2]) + (xs[0] - xs[2]) * (gy - ys[2])) / d;
+        const float w2 = 1.f - w0 - w1;
+        if (w0 < 0 || w1 < 0 || w2 < 0) continue;
+        const float zi = w0 * zs[0] + w1 * zs[1] + w2 * zs[2];
+        float* dst = out_depth + static_cast<int64_t>(py) * width + px;
+        if (zi < *dst) {
+          *dst = zi;
+          uint8_t* c = out_rgba + 4 * (static_cast<int64_t>(py) * width + px);
+          c[0] = shade[0];
+          c[1] = shade[1];
+          c[2] = shade[2];
+          c[3] = 255;
+        }
+      }
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"
