@@ -147,6 +147,12 @@ def bench_latency(image_size: int = 384, context: int = 3, iters: int = 30):
 def main():
     import jax
 
+    # persistent compile cache: the flagship program is large and the first
+    # TPU compile is minutes; subsequent bench runs (e.g. the driver's) reuse it
+    jax.config.update("jax_compilation_cache_dir",
+                      str(ROOT / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     devices = jax.devices()
     platform = devices[0].platform
     n_chips = len(devices)
