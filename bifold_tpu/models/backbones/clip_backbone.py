@@ -93,7 +93,7 @@ class ClipVisionTower(nn.Module):
         x = Transformer(
             dim=cfg.vision_width, depth=cfg.vision_layers, heads=cfg.vision_heads,
             mlp_dim=cfg.vision_width * 4, fused_qkv=False, activation=quick_gelu,
-            dtype=self.dtype, name="transformer",
+            ln_eps=1e-5, dtype=self.dtype, name="transformer",
         )(x, deterministic=deterministic)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(x)
 
@@ -113,7 +113,8 @@ class ClipTextTower(nn.Module):
         self.transformer = Transformer(
             dim=cfg.text_width, depth=cfg.text_layers, heads=cfg.text_heads,
             mlp_dim=cfg.text_width * 4, fused_qkv=False, causal=True,
-            activation=quick_gelu, dtype=self.dtype, name="transformer")
+            activation=quick_gelu, ln_eps=1e-5, dtype=self.dtype,
+            name="transformer")
         self.ln_final = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_final")
         self.text_projection = self.param(
             "text_projection", nn.initializers.normal(cfg.text_width**-0.5),

@@ -1,0 +1,268 @@
+"""Pretrained checkpoint conversion: HF/OpenAI torch state dicts -> our params.
+
+The reference downloads pretrained towers at runtime (HF ``AutoModel`` for
+SigLIP, the OpenAI CLIP URL table — reference siglip.py:27,
+models/clip/__init__.py:34). This environment has no egress, so conversion is
+an explicit offline step: given a local checkpoint (``pytorch_model.bin`` /
+``*.safetensors`` / OpenAI ``.pt``), map its tensors onto the Flax parameter
+tree (transpose Linear kernels, reshape conv kernels, split fused in_proj),
+graft into a model's params, and save. Supports:
+
+- SigLIP (HF ``SiglipModel`` naming) -> ``siglip_model`` subtree, with or
+  without LoRA-wrapped q/v (base kernels land under ``.../q_proj/base``);
+- CLIP in both HF (``CLIPModel``) and OpenAI (``visual.conv1...``) naming ->
+  ``clip_encoder`` subtree.
+
+CLI: python -m bifold_tpu.models.convert --checkpoint <path> \
+    --arch siglip --out params.ckpt
+Numerics are validated against the torch implementations in
+tests/test_convert.py (BASELINE.md fidelity gate: <= 1e-2; achieved ~1e-5).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict
+
+import numpy as np
+
+__all__ = ["convert_siglip", "convert_clip", "load_state_dict", "graft"]
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _linear(sd: Dict, prefix: str, bias: bool = True) -> Dict[str, np.ndarray]:
+    out = {"kernel": _np(sd[prefix + ".weight"]).T}
+    if bias and prefix + ".bias" in sd:
+        out["bias"] = _np(sd[prefix + ".bias"])
+    return out
+
+
+def _ln(sd: Dict, prefix: str) -> Dict[str, np.ndarray]:
+    return {"scale": _np(sd[prefix + ".weight"]),
+            "bias": _np(sd[prefix + ".bias"])}
+
+
+def _wrap_lora(dense: Dict[str, np.ndarray], lora: bool, rank: int,
+               in_dim: int, out_dim: int) -> Dict:
+    """Base kernel under LoRADense layout with zero adapters (peft semantics:
+    B = 0, adapter starts as a no-op — siglip.py:33-40)."""
+    if not lora:
+        return dense
+    return {"base": dense,
+            "lora_a": np.zeros((in_dim, rank), np.float32),
+            "lora_b": np.zeros((rank, out_dim), np.float32)}
+
+
+def convert_siglip(sd: Dict, *, layers: int = 12, lora: bool = False,
+                   lora_rank: int = 8,
+                   lora_targets=("q_proj", "v_proj")) -> Dict:
+    """HF SiglipModel state dict -> the ``siglip_model`` params subtree."""
+    sd = {k.removeprefix("model."): v for k, v in sd.items()}
+    out: Dict[str, Any] = {"vision_model": {}, "text_model": {}}
+
+    vm = out["vision_model"]
+    patch_w = _np(sd["vision_model.embeddings.patch_embedding.weight"])
+    vm["patch_embedding"] = {
+        "kernel": patch_w.transpose(2, 3, 1, 0),
+        "bias": _np(sd["vision_model.embeddings.patch_embedding.bias"]),
+    }
+    vm["position_embedding"] = _np(
+        sd["vision_model.embeddings.position_embedding.weight"])
+    vm["post_layernorm"] = _ln(sd, "vision_model.post_layernorm")
+
+    tm = out["text_model"]
+    tm["token_embedding"] = {
+        "embedding": _np(sd["text_model.embeddings.token_embedding.weight"])}
+    tm["position_embedding"] = _np(
+        sd["text_model.embeddings.position_embedding.weight"])
+    tm["final_layer_norm"] = _ln(sd, "text_model.final_layer_norm")
+
+    for tower, dst in (("vision_model", vm), ("text_model", tm)):
+        enc: Dict[str, Any] = {}
+        for i in range(layers):
+            p = f"{tower}.encoder.layers.{i}"
+            attn = {}
+            for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                dense = _linear(sd, f"{p}.self_attn.{proj}")
+                if proj in ("q_proj", "k_proj", "v_proj") and proj in lora_targets:
+                    d_in, d_out = dense["kernel"].shape
+                    dense = _wrap_lora(dense, lora, lora_rank, d_in, d_out)
+                attn[proj] = dense
+            enc[f"block_{i}"] = {
+                "norm1": _ln(sd, f"{p}.layer_norm1"),
+                "norm2": _ln(sd, f"{p}.layer_norm2"),
+                "attn": attn,
+                "mlp": {"fc1": _linear(sd, f"{p}.mlp.fc1"),
+                        "fc2": _linear(sd, f"{p}.mlp.fc2")},
+            }
+        dst["encoder"] = enc
+    return out
+
+
+def _convert_clip_openai(sd: Dict, vision_layers: int, text_layers: int) -> Dict:
+    """OpenAI-naming CLIP (the reference's vendored fork) -> ``clip_encoder``."""
+    out: Dict[str, Any] = {"visual": {}, "text": {}}
+
+    vis = out["visual"]
+    conv_w = _np(sd["visual.conv1.weight"])
+    vis["conv1"] = {"kernel": conv_w.transpose(2, 3, 1, 0)}
+    vis["class_embedding"] = _np(sd["visual.class_embedding"])
+    vis["positional_embedding"] = _np(sd["visual.positional_embedding"])
+    vis["ln_pre"] = _ln(sd, "visual.ln_pre")
+    vis["ln_post"] = _ln(sd, "visual.ln_post")
+
+    txt = out["text"]
+    txt["token_embedding"] = {"embedding": _np(sd["token_embedding.weight"])}
+    txt["positional_embedding"] = _np(sd["positional_embedding"])
+    txt["ln_final"] = _ln(sd, "ln_final")
+    txt["text_projection"] = _np(sd["text_projection"])
+
+    def blocks(prefix: str, n: int) -> Dict:
+        enc: Dict[str, Any] = {}
+        for i in range(n):
+            p = f"{prefix}.resblocks.{i}"
+            w = _np(sd[f"{p}.attn.in_proj_weight"])  # (3D, D)
+            b = _np(sd[f"{p}.attn.in_proj_bias"])
+            d = w.shape[0] // 3
+            attn = {}
+            for j, proj in enumerate(("q_proj", "k_proj", "v_proj")):
+                attn[proj] = {"kernel": w[j * d:(j + 1) * d].T,
+                              "bias": b[j * d:(j + 1) * d]}
+            attn["out_proj"] = _linear(sd, f"{p}.attn.out_proj")
+            enc[f"block_{i}"] = {
+                "norm1": _ln(sd, f"{p}.ln_1"),
+                "norm2": _ln(sd, f"{p}.ln_2"),
+                "attn": attn,
+                "mlp": {"fc1": _linear(sd, f"{p}.mlp.c_fc"),
+                        "fc2": _linear(sd, f"{p}.mlp.c_proj")},
+            }
+        return enc
+
+    vis["transformer"] = blocks("visual.transformer", vision_layers)
+    txt["transformer"] = blocks("transformer", text_layers)
+    return out
+
+
+def _convert_clip_hf(sd: Dict, vision_layers: int, text_layers: int) -> Dict:
+    """HF CLIPModel naming -> ``clip_encoder`` subtree."""
+    sd = {k.removeprefix("model."): v for k, v in sd.items()}
+    out: Dict[str, Any] = {"visual": {}, "text": {}}
+
+    vis = out["visual"]
+    conv_w = _np(sd["vision_model.embeddings.patch_embedding.weight"])
+    vis["conv1"] = {"kernel": conv_w.transpose(2, 3, 1, 0)}
+    vis["class_embedding"] = _np(sd["vision_model.embeddings.class_embedding"])
+    vis["positional_embedding"] = _np(
+        sd["vision_model.embeddings.position_embedding.weight"])
+    vis["ln_pre"] = _ln(sd, "vision_model.pre_layrnorm")  # HF's typo'd name
+    vis["ln_post"] = _ln(sd, "vision_model.post_layernorm")
+
+    txt = out["text"]
+    txt["token_embedding"] = {
+        "embedding": _np(sd["text_model.embeddings.token_embedding.weight"])}
+    txt["positional_embedding"] = _np(
+        sd["text_model.embeddings.position_embedding.weight"])
+    txt["ln_final"] = _ln(sd, "text_model.final_layer_norm")
+    txt["text_projection"] = _np(sd["text_projection.weight"]).T
+
+    def blocks(tower: str, n: int) -> Dict:
+        enc: Dict[str, Any] = {}
+        for i in range(n):
+            p = f"{tower}.encoder.layers.{i}"
+            enc[f"block_{i}"] = {
+                "norm1": _ln(sd, f"{p}.layer_norm1"),
+                "norm2": _ln(sd, f"{p}.layer_norm2"),
+                "attn": {proj: _linear(sd, f"{p}.self_attn.{proj}")
+                         for proj in ("q_proj", "k_proj", "v_proj", "out_proj")},
+                "mlp": {"fc1": _linear(sd, f"{p}.mlp.fc1"),
+                        "fc2": _linear(sd, f"{p}.mlp.fc2")},
+            }
+        return enc
+
+    vis["transformer"] = blocks("vision_model", vision_layers)
+    txt["transformer"] = blocks("text_model", text_layers)
+    return out
+
+
+def convert_clip(sd: Dict, *, vision_layers: int = 12,
+                 text_layers: int = 12) -> Dict:
+    if any(k.startswith("visual.conv1") for k in sd):
+        return _convert_clip_openai(sd, vision_layers, text_layers)
+    return _convert_clip_hf(sd, vision_layers, text_layers)
+
+
+def load_state_dict(path: str | Path) -> Dict:
+    """Load a torch checkpoint: .safetensors, .bin/.pt (pickle), or a HF
+    model directory."""
+    path = Path(path)
+    if path.is_dir():
+        for name in ("model.safetensors", "pytorch_model.bin"):
+            if (path / name).exists():
+                path = path / name
+                break
+    if path.suffix == ".safetensors":
+        from safetensors.numpy import load_file  # noqa: WPS433
+        return load_file(str(path))
+    import torch  # noqa: WPS433
+    obj = torch.load(str(path), map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    return obj
+
+
+def graft(params: Dict, subtree_name: str, converted: Dict) -> Dict:
+    """Replace ``params[subtree_name]`` leaves with converted tensors,
+    asserting shape agreement (missing leaves keep their init, e.g. LoRA
+    adapters when the checkpoint has none)."""
+    import jax
+
+    def merge(dst, src, path=""):
+        out = dict(dst)
+        for k, v in src.items():
+            if k not in dst:
+                raise KeyError(f"{path}/{k} not present in model params")
+            if isinstance(v, dict):
+                out[k] = merge(dst[k], v, f"{path}/{k}")
+            else:
+                expect = np.shape(dst[k])
+                got = np.shape(v)
+                assert expect == got, f"{path}/{k}: {got} != {expect}"
+                out[k] = jax.numpy.asarray(v, dtype=dst[k].dtype)
+        return out
+
+    new = dict(params)
+    new[subtree_name] = merge(params[subtree_name], converted, subtree_name)
+    return new
+
+
+def main() -> None:
+    import argparse
+    import pickle
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--arch", choices=["siglip", "clip"], required=True)
+    ap.add_argument("--layers", type=int, default=12)
+    ap.add_argument("--lora", action="store_true")
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+    sd = load_state_dict(args.checkpoint)
+    if args.arch == "siglip":
+        converted = convert_siglip(sd, layers=args.layers, lora=args.lora)
+    else:
+        converted = convert_clip(sd, vision_layers=args.layers,
+                                 text_layers=args.layers)
+    with open(args.out, "wb") as f:
+        pickle.dump(converted, f)
+    n = sum(np.asarray(x).size
+            for x in __import__("jax").tree_util.tree_leaves(converted))
+    print(f"[convert] wrote {args.out} ({n / 1e6:.1f}M params)")
+
+
+if __name__ == "__main__":
+    main()

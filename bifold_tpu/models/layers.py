@@ -134,11 +134,12 @@ class TransformerBlock(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 1.0
     lora_dropout: float = 0.0
+    ln_eps: float = 1e-6
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, key_mask=None, *, legacy_query_mask=None, deterministic=True):
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x)
         h = MultiHeadAttention(
             dim=self.dim,
             heads=self.heads,
@@ -153,7 +154,7 @@ class TransformerBlock(nn.Module):
             name="attn",
         )(h, key_mask, legacy_query_mask=legacy_query_mask, deterministic=deterministic)
         x = x + h
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x)
         h = FeedForward(
             dim=self.dim, hidden_dim=self.mlp_dim, dropout=self.dropout,
             activation=self.activation, dtype=self.dtype, name="mlp",
@@ -177,6 +178,7 @@ class Transformer(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 1.0
     lora_dropout: float = 0.0
+    ln_eps: float = 1e-6
     remat: bool = False
     dtype: Any = jnp.float32
 
@@ -192,8 +194,8 @@ class Transformer(nn.Module):
                 causal=self.causal,
                 dropout=self.dropout, activation=self.activation,
                 lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
-                lora_dropout=self.lora_dropout, dtype=self.dtype,
-                name=f"block_{i}",
+                lora_dropout=self.lora_dropout, ln_eps=self.ln_eps,
+                dtype=self.dtype, name=f"block_{i}",
             )(x, key_mask, legacy_query_mask=legacy_query_mask,
               deterministic=deterministic)
         return x
