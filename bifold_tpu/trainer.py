@@ -274,12 +274,27 @@ class Trainer:
 
     def eval_epoch_pixel(self):
         self.metrics.reset()
-        for batch in self.test_dataloader:
+        visualize = bool(self.cfg.get("visualize_predictions"))
+        for batch_idx, batch in enumerate(self.test_dataloader):
             action, raw_output = self.get_action(batch, return_raw_output=True)
             sample = {k: np.asarray(v) if not isinstance(v, (list, tuple)) else v
                       for k, v in batch.items()}
             self.metrics(action=action, sample=sample, raw_output=raw_output)
+            if visualize:
+                self._visualize_predictions(sample, action, raw_output, batch_idx)
         return self.metrics.summary()
+
+    def _visualize_predictions(self, sample, action, raw_output, batch_idx):
+        """Arrow overlays + heatmap blends per eval batch
+        (reference __main__.py:204-236 / utils/visualization.py)."""
+        from bifold_tpu.utils.visualization import save_predictions, visualize_action
+        out = str(self.run_dir / "eval_viz")
+        for j, img in enumerate(visualize_action(sample, action)):
+            heatmaps = {k: np.asarray(v)[j] for k, v in raw_output.items()
+                        if k.endswith("_heatmap")}
+            save_predictions(out, f"{batch_idx:04d}_{j}.png",
+                             rgb=np.asarray(sample["raw_rgb"])[j], viz=img,
+                             **heatmaps)
 
     def _softgym_available(self) -> bool:
         try:
