@@ -58,8 +58,19 @@ def _wrap_lora(dense: Dict[str, np.ndarray], lora: bool, rank: int,
             "lora_b": np.zeros((rank, out_dim), np.float32)}
 
 
+def _stack_blocks(blocks: list, scan_layers: bool) -> Dict:
+    """Per-layer param dicts -> encoder subtree. With ``scan_layers`` (the
+    Transformer default) layers stack along a leading depth axis under
+    ``blocks/block``; otherwise they unroll as ``block_i``."""
+    if not scan_layers:
+        return {f"block_{i}": b for i, b in enumerate(blocks)}
+    import jax
+    stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *blocks)
+    return {"blocks": {"block": stacked}}
+
+
 def convert_siglip(sd: Dict, *, layers: int = 12, lora: bool = False,
-                   lora_rank: int = 8,
+                   lora_rank: int = 8, scan_layers: bool = True,
                    lora_targets=("q_proj", "v_proj")) -> Dict:
     """HF SiglipModel state dict -> the ``siglip_model`` params subtree."""
     sd = {k.removeprefix("model."): v for k, v in sd.items()}
@@ -83,7 +94,7 @@ def convert_siglip(sd: Dict, *, layers: int = 12, lora: bool = False,
     tm["final_layer_norm"] = _ln(sd, "text_model.final_layer_norm")
 
     for tower, dst in (("vision_model", vm), ("text_model", tm)):
-        enc: Dict[str, Any] = {}
+        blocks = []
         for i in range(layers):
             p = f"{tower}.encoder.layers.{i}"
             attn = {}
@@ -93,18 +104,19 @@ def convert_siglip(sd: Dict, *, layers: int = 12, lora: bool = False,
                     d_in, d_out = dense["kernel"].shape
                     dense = _wrap_lora(dense, lora, lora_rank, d_in, d_out)
                 attn[proj] = dense
-            enc[f"block_{i}"] = {
+            blocks.append({
                 "norm1": _ln(sd, f"{p}.layer_norm1"),
                 "norm2": _ln(sd, f"{p}.layer_norm2"),
                 "attn": attn,
                 "mlp": {"fc1": _linear(sd, f"{p}.mlp.fc1"),
                         "fc2": _linear(sd, f"{p}.mlp.fc2")},
-            }
-        dst["encoder"] = enc
+            })
+        dst["encoder"] = _stack_blocks(blocks, scan_layers)
     return out
 
 
-def _convert_clip_openai(sd: Dict, vision_layers: int, text_layers: int) -> Dict:
+def _convert_clip_openai(sd: Dict, vision_layers: int, text_layers: int,
+                         scan_layers: bool = True) -> Dict:
     """OpenAI-naming CLIP (the reference's vendored fork) -> ``clip_encoder``."""
     out: Dict[str, Any] = {"visual": {}, "text": {}}
 
@@ -123,7 +135,7 @@ def _convert_clip_openai(sd: Dict, vision_layers: int, text_layers: int) -> Dict
     txt["text_projection"] = _np(sd["text_projection"])
 
     def blocks(prefix: str, n: int) -> Dict:
-        enc: Dict[str, Any] = {}
+        out_blocks = []
         for i in range(n):
             p = f"{prefix}.resblocks.{i}"
             w = _np(sd[f"{p}.attn.in_proj_weight"])  # (3D, D)
@@ -134,21 +146,22 @@ def _convert_clip_openai(sd: Dict, vision_layers: int, text_layers: int) -> Dict
                 attn[proj] = {"kernel": w[j * d:(j + 1) * d].T,
                               "bias": b[j * d:(j + 1) * d]}
             attn["out_proj"] = _linear(sd, f"{p}.attn.out_proj")
-            enc[f"block_{i}"] = {
+            out_blocks.append({
                 "norm1": _ln(sd, f"{p}.ln_1"),
                 "norm2": _ln(sd, f"{p}.ln_2"),
                 "attn": attn,
                 "mlp": {"fc1": _linear(sd, f"{p}.mlp.c_fc"),
                         "fc2": _linear(sd, f"{p}.mlp.c_proj")},
-            }
-        return enc
+            })
+        return _stack_blocks(out_blocks, scan_layers)
 
     vis["transformer"] = blocks("visual.transformer", vision_layers)
     txt["transformer"] = blocks("transformer", text_layers)
     return out
 
 
-def _convert_clip_hf(sd: Dict, vision_layers: int, text_layers: int) -> Dict:
+def _convert_clip_hf(sd: Dict, vision_layers: int, text_layers: int,
+                     scan_layers: bool = True) -> Dict:
     """HF CLIPModel naming -> ``clip_encoder`` subtree."""
     sd = {k.removeprefix("model."): v for k, v in sd.items()}
     out: Dict[str, Any] = {"visual": {}, "text": {}}
@@ -171,18 +184,18 @@ def _convert_clip_hf(sd: Dict, vision_layers: int, text_layers: int) -> Dict:
     txt["text_projection"] = _np(sd["text_projection.weight"]).T
 
     def blocks(tower: str, n: int) -> Dict:
-        enc: Dict[str, Any] = {}
+        out_blocks = []
         for i in range(n):
             p = f"{tower}.encoder.layers.{i}"
-            enc[f"block_{i}"] = {
+            out_blocks.append({
                 "norm1": _ln(sd, f"{p}.layer_norm1"),
                 "norm2": _ln(sd, f"{p}.layer_norm2"),
                 "attn": {proj: _linear(sd, f"{p}.self_attn.{proj}")
                          for proj in ("q_proj", "k_proj", "v_proj", "out_proj")},
                 "mlp": {"fc1": _linear(sd, f"{p}.mlp.fc1"),
                         "fc2": _linear(sd, f"{p}.mlp.fc2")},
-            }
-        return enc
+            })
+        return _stack_blocks(out_blocks, scan_layers)
 
     vis["transformer"] = blocks("vision_model", vision_layers)
     txt["transformer"] = blocks("text_model", text_layers)
@@ -190,10 +203,10 @@ def _convert_clip_hf(sd: Dict, vision_layers: int, text_layers: int) -> Dict:
 
 
 def convert_clip(sd: Dict, *, vision_layers: int = 12,
-                 text_layers: int = 12) -> Dict:
+                 text_layers: int = 12, scan_layers: bool = True) -> Dict:
     if any(k.startswith("visual.conv1") for k in sd):
-        return _convert_clip_openai(sd, vision_layers, text_layers)
-    return _convert_clip_hf(sd, vision_layers, text_layers)
+        return _convert_clip_openai(sd, vision_layers, text_layers, scan_layers)
+    return _convert_clip_hf(sd, vision_layers, text_layers, scan_layers)
 
 
 def load_state_dict(path: str | Path) -> Dict:

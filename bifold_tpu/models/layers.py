@@ -162,9 +162,34 @@ class TransformerBlock(nn.Module):
         return x + h
 
 
+class _ScanBody(nn.Module):
+    """One block as a scan step: carry = activations, per-step params."""
+
+    block_kwargs: Any
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, key_mask, legacy_query_mask, deterministic):
+        block_cls = TransformerBlock
+        if self.remat:
+            block_cls = nn.remat(TransformerBlock, static_argnums=())
+        x = block_cls(**dict(self.block_kwargs), name="block")(
+            x, key_mask, legacy_query_mask=legacy_query_mask,
+            deterministic=deterministic)
+        return x, None
+
+
 class Transformer(nn.Module):
-    """Stack of pre-norm blocks (reference transformer.py:45-64). ``remat``
-    wraps each block in jax.checkpoint to trade FLOPs for HBM."""
+    """Stack of pre-norm blocks (reference transformer.py:45-64).
+
+    ``scan_layers`` (default) runs the depth as one ``nn.scan`` over stacked
+    per-layer parameters — the XLA program contains each tower's block once
+    instead of ``depth`` times, cutting compile time ~depth-fold on the big
+    models (the TPU-native choice for homogeneous stacks). ``remat`` wraps
+    each block in jax.checkpoint to trade FLOPs for HBM; it composes with
+    scan. With ``scan_layers=False`` blocks unroll under names ``block_i``
+    (the layout tests/goldens address individual layers through).
+    """
 
     dim: int
     depth: int
@@ -180,24 +205,39 @@ class Transformer(nn.Module):
     lora_dropout: float = 0.0
     ln_eps: float = 1e-6
     remat: bool = False
+    scan_layers: bool = True
     dtype: Any = jnp.float32
+
+    def _block_kwargs(self):
+        return dict(
+            dim=self.dim, heads=self.heads, mlp_dim=self.mlp_dim,
+            dim_head=self.dim_head, fused_qkv=self.fused_qkv,
+            causal=self.causal, dropout=self.dropout,
+            activation=self.activation, lora_rank=self.lora_rank,
+            lora_alpha=self.lora_alpha, lora_dropout=self.lora_dropout,
+            ln_eps=self.ln_eps, dtype=self.dtype)
 
     @nn.compact
     def __call__(self, x, key_mask=None, *, legacy_query_mask=None, deterministic=True):
+        if self.scan_layers and self.depth > 1:
+            scan = nn.scan(
+                _ScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.depth,
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            )
+            x, _ = scan(block_kwargs=tuple(self._block_kwargs().items()),
+                        remat=self.remat, name="blocks")(
+                x, key_mask, legacy_query_mask, deterministic)
+            return x
         block_cls = TransformerBlock
         if self.remat:
             block_cls = nn.remat(TransformerBlock, static_argnums=())
         for i in range(self.depth):
-            x = block_cls(
-                dim=self.dim, heads=self.heads, mlp_dim=self.mlp_dim,
-                dim_head=self.dim_head, fused_qkv=self.fused_qkv,
-                causal=self.causal,
-                dropout=self.dropout, activation=self.activation,
-                lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
-                lora_dropout=self.lora_dropout, ln_eps=self.ln_eps,
-                dtype=self.dtype, name=f"block_{i}",
-            )(x, key_mask, legacy_query_mask=legacy_query_mask,
-              deterministic=deterministic)
+            x = block_cls(**self._block_kwargs(), name=f"block_{i}")(
+                x, key_mask, legacy_query_mask=legacy_query_mask,
+                deterministic=deterministic)
         return x
 
 

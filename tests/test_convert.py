@@ -159,7 +159,7 @@ def test_openai_naming_detected():
             sd[f"{pr}.mlp.c_proj.weight"] = rng.standard_normal((d, 4 * d)).astype(np.float32)
             sd[f"{pr}.mlp.c_proj.bias"] = rng.standard_normal(d).astype(np.float32)
 
-    out = convert_clip(sd, vision_layers=1, text_layers=1)
+    out = convert_clip(sd, vision_layers=1, text_layers=1, scan_layers=False)
     blk = out["visual"]["transformer"]["block_0"]
     w = sd["visual.transformer.resblocks.0.attn.in_proj_weight"]
     np.testing.assert_array_equal(blk["attn"]["q_proj"]["kernel"], w[:d].T)
