@@ -211,6 +211,11 @@ class Trainer:
         running, n_steps = 0.0, 0
         t_epoch = time.time()
         samples = 0
+        profile_steps = int(self.cfg.get("profile_steps") or 0)
+        if profile_steps and self.epoch == 0:
+            # tracing hook (SURVEY.md §5: the reference has none; we expose
+            # jax.profiler so the step can be inspected in xprof/tensorboard)
+            jax.profiler.start_trace(str(self.run_dir / "profile"))
         state = (self.params, self.opt_state, self.extra_vars)
         for batch in self.train_dataloader:
             device_batch, _ = split_batch(batch)
@@ -223,6 +228,10 @@ class Trainer:
             n_steps += 1
             samples += int(next(iter(device_batch.values())).shape[0])
             self.global_step += 1
+            if profile_steps and n_steps == profile_steps and self.epoch == 0:
+                jax.block_until_ready(step_metrics["loss"])
+                jax.profiler.stop_trace()
+                profile_steps = 0
             if self.global_step % log_every == 0:
                 lr = float(self.schedule(self.global_step)) if self.schedule else None
                 self.writer.log(
