@@ -24,9 +24,8 @@ FUSIONS = {"concat_transformer": ConcatTransformer, "crossattention": CrossAtten
 
 def _build_fusion(fusion_model, dim, kwargs, dtype, name):
     cls = FUSIONS[fusion_model]
-    keys = {"heads", "depth", "dropout", "mlp_ratio", "num_modalities",
-            "num_registers", "legacy_query_mask", "remat"}
-    accepted = {k: v for k, v in kwargs.items() if k in keys}
+    valid = set(cls.__dataclass_fields__) - {"dim", "dtype", "name", "parent"}
+    accepted = {k: v for k, v in kwargs.items() if k in valid}
     return cls(dim=dim, dtype=dtype, name=name, **accepted)
 
 

@@ -1,0 +1,97 @@
+"""Secondary head/fusion variants: MAE-style trans decoder, cross-attention
+fusion, and the mask head + composed loss path (reference components
+pick_place_transdecoder / crossattention / mask_head,
+models/pickplace.py:66-99,127-263, fusion.py:67-125)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bifold_tpu.losses import build_loss
+from bifold_tpu.models import build_model
+
+
+def _sample(rng, b=2, s=32, text=8):
+    return {
+        "rgb": jnp.asarray(rng.standard_normal((b, 3, s, s)), jnp.float32),
+        "instruction": jnp.asarray(rng.integers(0, 90, (b, text)), jnp.int32),
+        "mask": jnp.asarray((rng.random((b, 1, s, s)) > 0.5), jnp.float32),
+    }
+
+
+def _tiny(**overrides):
+    cfg = {"name": "siglip", "image_size": 32, "is_bimanual": False,
+           "patch_size": 16, "automodel_name": "tiny", "dim": 32,
+           "lora": False, "depth": 1, "heads": 2, "threshold": 0.01}
+    cfg.update(overrides)
+    return build_model(cfg)
+
+
+def test_transdecoder_heads():
+    rng = np.random.default_rng(0)
+    model = _tiny(pick_place_model="pick_place_transdecoder")
+    sample = _sample(rng)
+    variables = model.init(jax.random.key(0), sample, deterministic=True)
+    out = model.apply(variables, sample, deterministic=True)
+    assert out["pick_heatmap"].shape == (2, 32, 32)
+    assert out["place_heatmap"].shape == (2, 32, 32)
+    assert float(out["pick_heatmap"].min()) >= 0
+    assert float(out["pick_heatmap"].max()) <= 1
+
+
+def test_transdecoder_bimanual_two_channel():
+    rng = np.random.default_rng(0)
+    model = _tiny(pick_place_model="pick_place_transdecoder", is_bimanual=True)
+    sample = _sample(rng)
+    variables = model.init(jax.random.key(0), sample, deterministic=True)
+    out = model.apply(variables, sample, deterministic=True)
+    for k in ("left_pick_heatmap", "right_pick_heatmap",
+              "left_place_heatmap", "right_place_heatmap"):
+        assert out[k].shape == (2, 32, 32)
+
+
+def test_crossattention_fusion():
+    rng = np.random.default_rng(0)
+    model = _tiny(fusion_model="crossattention")
+    sample = _sample(rng)
+    variables = model.init(jax.random.key(0), sample, deterministic=True)
+    out = model.apply(variables, sample, deterministic=True)
+    assert out["pick_heatmap"].shape == (2, 32, 32)
+
+
+@pytest.mark.parametrize("detach", [False, True])
+def test_mask_head_and_composed_loss(detach):
+    """compute_mask gates pick heatmaps multiplicatively and feeds the
+    composed bce+mask/dice/focal losses (reference pickplace.py:66-99)."""
+    rng = np.random.default_rng(0)
+    model = build_model({
+        "name": "siglip", "image_size": 32, "is_bimanual": False,
+        "patch_size": 16, "automodel_name": "tiny", "dim": 32, "lora": False,
+        "depth": 1, "heads": 2})
+    # rebuild head with mask enabled via the underlying module API
+    from bifold_tpu.models.pickplace import PickPlaceConvDecoder
+
+    head = PickPlaceConvDecoder(
+        dim=32, is_bimanual=False, fusion_model="concat_transformer",
+        num_patches=4, patch_size=16, compute_mask=True, detach_mask=detach,
+        fusion_kwargs={"heads": 2, "depth": 1})
+    text = jnp.asarray(rng.standard_normal((2, 8, 32)), jnp.float32)
+    image = jnp.asarray(rng.standard_normal((2, 5, 32)), jnp.float32)
+    variables = head.init(jax.random.key(0), text, image)
+    out = head.apply(variables, text, image)
+    assert out["mask_heatmap"].shape == (2, 32, 32)
+    # pick is gated by the mask head's output
+    assert float(np.abs(np.asarray(out["pick_heatmap"])
+                        - np.asarray(out["place_heatmap"])).max()) > 0
+
+    sample = {"mask": jnp.asarray((rng.random((2, 1, 32, 32)) > 0.5), jnp.float32),
+              "pick_heatmap": jnp.asarray(rng.random((2, 32, 32)), jnp.float32),
+              "place_heatmap": jnp.asarray(rng.random((2, 32, 32)), jnp.float32)}
+    loss_fn = build_loss({"name": "composed",
+                          "loss_names": ["bce_gaussmap", "focal", "dice"],
+                          "weights": [40, 20, 1], "is_bimanual": False,
+                          "mask_pick_heatmap": True})
+    total, inter = loss_fn(out, sample)
+    assert np.isfinite(float(total))
+    assert "focal" in inter and "dice" in inter
