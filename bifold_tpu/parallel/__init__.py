@@ -72,14 +72,18 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(BATCH_AXES))
 
 
-def _fsdp_spec(leaf: jnp.ndarray, fsdp_size: int, min_size: int) -> P:
+def _fsdp_spec(leaf: jnp.ndarray, fsdp_size: int, min_size: int,
+               taken: Optional[int] = None) -> P:
     """ZeRO-style spec: shard the largest divisible axis over ``fsdp`` for
-    leaves above ``min_size`` elements; everything else replicates."""
+    leaves above ``min_size`` elements; everything else replicates.
+    ``taken`` marks an axis already claimed (by tp)."""
     if fsdp_size <= 1 or leaf.size < min_size:
         return P()
     dims = list(leaf.shape)
     order = sorted(range(len(dims)), key=lambda i: -dims[i])
     for i in order:
+        if i == taken:
+            continue
         if dims[i] % fsdp_size == 0 and dims[i] >= fsdp_size:
             spec = [None] * len(dims)
             spec[i] = "fsdp"
@@ -87,17 +91,48 @@ def _fsdp_spec(leaf: jnp.ndarray, fsdp_size: int, min_size: int) -> P:
     return P()
 
 
+# Megatron-style tensor parallelism by parameter name: column-parallel
+# projections shard their output axis, row-parallel their input axis; XLA
+# inserts the all-reduce after out_proj/fc2 from the shardings alone.
+_TP_COL = ("q_proj", "k_proj", "v_proj", "fc1", "to_qkv")   # shard out dim
+_TP_ROW = ("out_proj", "fc2")                               # shard in dim
+
+
+def _tp_axis(path_keys, leaf) -> Optional[int]:
+    if getattr(leaf, "ndim", 0) < 2 or "kernel" not in path_keys:
+        return None
+    for name in _TP_COL:
+        if name in path_keys:
+            return leaf.ndim - 1
+    for name in _TP_ROW:
+        if name in path_keys:
+            return leaf.ndim - 2
+    return None
+
+
 def param_sharding(mesh: Mesh, params: Any, min_size: int = 2**16) -> Any:
-    """NamedSharding pytree for params/opt-state: replicated over dp/tp,
-    fsdp-sharded for large leaves."""
+    """NamedSharding pytree for params/opt-state: tp-sharded attention/MLP
+    kernels (when ``tp > 1``), fsdp-sharded large leaves, replicated over dp."""
     fsdp_size = mesh.shape["fsdp"]
+    tp_size = mesh.shape["tp"]
 
-    def one(leaf):
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    out = []
+    for path, leaf in flat:
         if not hasattr(leaf, "shape") or not hasattr(leaf, "size"):
-            return NamedSharding(mesh, P())
-        return NamedSharding(mesh, _fsdp_spec(leaf, fsdp_size, min_size))
-
-    return jax.tree_util.tree_map(one, params)
+            out.append(NamedSharding(mesh, P()))
+            continue
+        keys = tuple(str(getattr(k, "key", getattr(k, "idx", ""))) for k in path)
+        tp_axis = _tp_axis(keys, leaf) if tp_size > 1 else None
+        if tp_axis is not None and leaf.shape[tp_axis] % tp_size == 0:
+            spec = list(_fsdp_spec(leaf, fsdp_size, min_size, taken=tp_axis))
+            spec += [None] * (leaf.ndim - len(spec))
+            spec[tp_axis] = "tp"
+            out.append(NamedSharding(mesh, P(*spec)))
+        else:
+            out.append(NamedSharding(mesh, _fsdp_spec(leaf, fsdp_size, min_size)))
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
