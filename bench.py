@@ -73,8 +73,11 @@ def _flagship(batch: int, image_size: int = 384, context: int = 3):
     device_batch = {k: jnp.asarray(v) for k, v in batch_proc.items()
                     if not isinstance(v, (list, tuple))}
 
-    params = model.init(jax.random.key(0), device_batch,
-                        deterministic=True)["params"]
+    # jit the init: eager init dispatches thousands of tiny ops (very slow
+    # over a remote-TPU tunnel); one compiled program instead
+    params = jax.jit(
+        lambda k: model.init(k, device_batch, deterministic=True)
+    )(jax.random.key(0))["params"]
     loss_fn = build_loss({"name": "bce_gaussmap", "is_bimanual": True,
                           "mask_pick_heatmap": False})
     tx, _ = build_optimizer(
@@ -126,7 +129,8 @@ def bench_latency(image_size: int = 384, context: int = 3, iters: int = 30):
         "instruction": jnp.asarray(rng.integers(0, 30000, (1, 64)), jnp.int32),
         "mask": jnp.asarray((rng.random((1, 1, s, s)) > 0.5), jnp.float32),
     }
-    variables = model.init(jax.random.key(0), sample, deterministic=True)
+    variables = jax.jit(
+        lambda k: model.init(k, sample, deterministic=True))(jax.random.key(0))
 
     @jax.jit
     def serve(variables, sample):

@@ -86,7 +86,10 @@ class Trainer:
         # Initialize variables on a real (test-partition) batch.
         init_batch, _ = split_batch(next(iter(self.test_dataloader)))
         self.key, init_key = jax.random.split(self.key)
-        variables = self.model.init(init_key, init_batch, deterministic=True)
+        # jitted init: one compiled program instead of per-op dispatch
+        variables = jax.jit(
+            lambda k: self.model.init(k, init_batch, deterministic=True)
+        )(init_key)
         variables = jax.tree_util.tree_map(jnp.asarray, variables)
         self.params = variables["params"]
         self.extra_vars = {k: v for k, v in variables.items() if k != "params"}
