@@ -76,16 +76,28 @@ def decode_action(output: dict, sample: dict, *, is_bimanual: bool,
     if use_mask:
         mask = mask.reshape(mask.shape[0], mask.shape[-2], mask.shape[-1])
 
+    def decode_pick(node_or_map):
+        """Graph mode: pick heatmaps are per-node probabilities; the pixel
+        comes from the projected node coordinates (reference
+        models/__init__.py:84-106). Dense mode: argmax + mask snap."""
+        if node_or_map.ndim == 2 and "pixel_sampled_pc" in sample:
+            idx = jnp.argmax(node_or_map, axis=1)
+            pc = sample["pixel_sampled_pc"]  # (B, N, 2)
+            pix = jnp.take_along_axis(pc, idx[:, None, None].repeat(2, -1), 1)[:, 0]
+            conf = jnp.max(node_or_map, axis=1)
+            return pix.astype(jnp.float32), conf
+        return decode_heatmap(node_or_map, mask, use_mask=use_mask)
+
     if is_bimanual:
-        lp, lc = decode_heatmap(output["left_pick_heatmap"], mask, use_mask=use_mask)
-        rp, rc = decode_heatmap(output["right_pick_heatmap"], mask, use_mask=use_mask)
+        lp, lc = decode_pick(output["left_pick_heatmap"])
+        rp, rc = decode_pick(output["right_pick_heatmap"])
         lpl, _ = decode_heatmap(output["left_place_heatmap"])
         rpl, _ = decode_heatmap(output["right_place_heatmap"])
         lp, rp, lpl, rpl = gate_bimanual(lp, rp, lpl, rpl, lc, rc, threshold)
         return {"left_pick": lp, "right_pick": rp,
                 "left_place": lpl, "right_place": rpl,
                 "left_confidence": lc, "right_confidence": rc}
-    pick, conf = decode_heatmap(output["pick_heatmap"], mask, use_mask=use_mask)
+    pick, conf = decode_pick(output["pick_heatmap"])
     place, _ = decode_heatmap(output["place_heatmap"])
     return {"pick": pick.astype(jnp.float32), "place": place.astype(jnp.float32),
             "confidence": conf}

@@ -95,3 +95,40 @@ def test_mask_head_and_composed_loss(detach):
     total, inter = loss_fn(out, sample)
     assert np.isfinite(float(total))
     assert "focal" in inter and "dice" in inter
+
+
+def test_upsample2x_matches_torch():
+    """ConvDecoder's x2 bilinear matches torch Upsample(align_corners=False)
+    (the reference decoder's upsampling, modules.py:69)."""
+    import torch
+    from bifold_tpu.models.decoders import upsample2x
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 7, 9, 3)).astype(np.float32)
+    ours = np.asarray(upsample2x(jnp.asarray(x)))
+    theirs = torch.nn.functional.interpolate(
+        torch.tensor(x).permute(0, 3, 1, 2), scale_factor=2, mode="bilinear",
+        align_corners=False).permute(0, 2, 3, 1).numpy()
+    assert np.abs(ours - theirs).max() < 1e-5
+
+
+def test_decode_action_graph_mode():
+    """Graph-mode pick decode: node-probability heatmaps index into the
+    projected node pixels (reference models/__init__.py:84-106)."""
+    from bifold_tpu.models import decode_action
+
+    rng = np.random.default_rng(0)
+    b, n = 2, 10
+    probs = rng.random((b, n)).astype(np.float32)
+    pc = rng.uniform(0, 64, (b, n, 2)).astype(np.float32)
+    place = np.zeros((b, 16, 16), np.float32)
+    place[:, 5, 7] = 1.0
+    out = {"pick_heatmap": jnp.asarray(probs),
+           "place_heatmap": jnp.asarray(place)}
+    sample = {"pixel_sampled_pc": jnp.asarray(pc)}
+    decoded = decode_action(out, sample, is_bimanual=False,
+                            constrain_pick_mask=False)
+    for i in range(b):
+        np.testing.assert_allclose(np.asarray(decoded["pick"])[i],
+                                   pc[i, probs[i].argmax()], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(decoded["place"])[0], [7, 5])
