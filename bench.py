@@ -83,7 +83,8 @@ def _flagship(batch: int, image_size: int = 384, context: int = 3):
     tx, _ = build_optimizer(
         {"name": "adam", "lr": 1e-4, "betas": [0.9, 0.999], "eps": 1e-8,
          "weight_decay": 0}, None, max_iters=100,
-        trainable=trainable_mask(params, lora=True))
+        trainable=trainable_mask(params, lora=True),
+        gradient_clip=1.0)  # repeated random batch diverges unclipped
     opt_state = tx.init(params)
     step = parallel.make_train_step(model, loss_fn, tx, donate=True)
     return model, proc, raw, device_batch, params, opt_state, step
@@ -94,19 +95,16 @@ def bench_train(batch: int, steps: int = 10, warmup: int = 2):
 
     (model, proc, raw, device_batch, params, opt_state,
      step) = _flagship(batch)
-    state = (params, opt_state, {})
-    key = jax.random.key(0)
+    state = (params, opt_state, {}, jax.random.key(0))
     for i in range(warmup):
-        key, k = jax.random.split(key)
-        state, metrics = step(state, device_batch, k)
-    jax.block_until_ready(metrics["loss"])
+        state, metrics = step(state, device_batch)
+    float(metrics["loss"])  # host readback = true synchronization barrier
     t0 = time.time()
     for i in range(steps):
-        key, k = jax.random.split(key)
-        state, metrics = step(state, device_batch, k)
-    jax.block_until_ready(metrics["loss"])
-    dt = (time.time() - t0) / steps
-    return batch / dt, dt, float(metrics["loss"])
+        state, metrics = step(state, device_batch)
+    loss = float(metrics["loss"])  # block_until_ready alone can return early
+    dt = (time.time() - t0) / steps  # over a tunneled runtime
+    return batch / dt, dt, loss
 
 
 def bench_latency(image_size: int = 384, context: int = 3, iters: int = 30):
@@ -167,7 +165,11 @@ def main():
         baseline = json.loads(baseline_path.read_text()).get(
             "torch_cpu_train_samples_per_sec")
 
-    batch = 8
+    # batch 2 = the reference's training batch size (conf/config.yaml:12);
+    # overridable for scaling studies. A fixed batch keeps driver runs on the
+    # warm compile cache (no OOM-probe recompiles).
+    import os
+    batch = int(os.environ.get("BIFOLD_BENCH_BATCH", 2))
     throughput = step_time = loss = None
     while batch >= 1:
         try:
@@ -193,7 +195,7 @@ def main():
         "platform": platform,
         "n_chips": n_chips,
         "batch": batch,
-        "step_time_s": round(step_time, 4),
+        "step_time_s": round(step_time, 5),
         "loss": round(loss, 4),
         "batch1_p50_ms": round(p50_ms, 3) if p50_ms is not None else None,
         "baseline_torch_cpu_samples_per_sec": baseline,

@@ -165,8 +165,13 @@ def make_train_step(model, loss_fn: Callable, tx, *,
                     donate: bool = True) -> Callable:
     """Build the jitted SPMD train step.
 
-    step((params, opt_state, extra_vars), batch, key)
-      -> (params, opt_state, extra_vars), metrics
+    step((params, opt_state, extra_vars, key), batch)
+      -> (params, opt_state, extra_vars, key'), metrics
+
+    The PRNG key lives in the (donated, device-resident) state and splits
+    inside the program — no fresh host scalar rides along each step, so
+    back-to-back steps pipeline without a host sync (this matters doubly
+    over a tunneled TPU, where each host->device transfer is an RPC).
 
     The caller places params/opt_state with :func:`param_sharding` and the
     batch with :func:`shard_batch`; jit then propagates shardings and inserts
@@ -174,18 +179,19 @@ def make_train_step(model, loss_fn: Callable, tx, *,
     intermediates (scalars, replicated).
     """
 
-    def step(state, batch, key):
-        params, opt_state, extra = state
+    def step(state, batch):
+        params, opt_state, extra, key = state
+        key, dropout_key = jax.random.split(key)
 
         def compute_loss(p):
             variables = {"params": p, **extra}
             if has_batch_stats:
                 out, mutated = model.apply(
                     variables, batch, deterministic=False,
-                    rngs={"dropout": key}, mutable=["batch_stats"])
+                    rngs={"dropout": dropout_key}, mutable=["batch_stats"])
             else:
                 out = model.apply(variables, batch, deterministic=False,
-                                  rngs={"dropout": key})
+                                  rngs={"dropout": dropout_key})
                 mutated = {}
             loss, inter = loss_fn(out, batch)
             return loss, (inter, mutated)
@@ -199,7 +205,7 @@ def make_train_step(model, loss_fn: Callable, tx, *,
             jnp.sum(jnp.square(g.astype(jnp.float32)))
             for g in jax.tree_util.tree_leaves(grads)))
         metrics = {"loss": loss, "grad_norm": gnorm, **inter}
-        return (params, opt_state, extra), metrics
+        return (params, opt_state, extra, key), metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 

@@ -219,13 +219,13 @@ class Trainer:
             # tracing hook (SURVEY.md §5: the reference has none; we expose
             # jax.profiler so the step can be inspected in xprof/tensorboard)
             jax.profiler.start_trace(str(self.run_dir / "profile"))
-        state = (self.params, self.opt_state, self.extra_vars)
+        self.key, loop_key = jax.random.split(self.key)
+        state = (self.params, self.opt_state, self.extra_vars, loop_key)
         for batch in self.train_dataloader:
             device_batch, _ = split_batch(batch)
             device_batch = parallel.shard_batch(self.mesh, device_batch)
-            self.key, step_key = jax.random.split(self.key)
             t0 = time.time()
-            state, step_metrics = self._train_step(state, device_batch, step_key)
+            state, step_metrics = self._train_step(state, device_batch)
             loss = float(step_metrics["loss"])
             running += loss
             n_steps += 1
@@ -244,7 +244,7 @@ class Trainer:
                      "train/lr": lr,
                      "train/step_time_s": time.time() - t0},
                     self.global_step)
-        self.params, self.opt_state, self.extra_vars = state
+        self.params, self.opt_state, self.extra_vars, _ = state
         dt = time.time() - t_epoch
         mean_loss = running / max(n_steps, 1)
         throughput = samples / dt if dt > 0 else 0.0

@@ -75,8 +75,8 @@ def test_train_step_dp_equals_single_device(devices):
     o_sharded = jax.device_put(tx.init(params),
                                parallel.param_sharding(mesh, tx.init(params)))
     b_sharded = parallel.shard_batch(mesh, batch)
-    (p_new, _, _), metrics = step((p_sharded, o_sharded, {}), b_sharded,
-                                  jax.random.key(1))
+    (p_new, _, _, _), metrics = step(
+        (p_sharded, o_sharded, {}, jax.random.key(1)), b_sharded)
     for a, b in zip(jax.tree_util.tree_leaves(expect),
                     jax.tree_util.tree_leaves(p_new)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
@@ -111,7 +111,7 @@ def test_fsdp_step_matches_dp(devices):
         o = jax.device_put(tx.init(params),
                            parallel.param_sharding(mesh, tx.init(params), min_size=64))
         b = parallel.shard_batch(mesh, batch)
-        (p_new, _, _), m = step((p, o, {}), b, jax.random.key(1))
+        (p_new, _, _, _), m = step((p, o, {}, jax.random.key(1)), b)
         results.append((jax.tree_util.tree_map(np.asarray, p_new),
                         float(m["loss"])))
     (p1, l1), (p2, l2) = results
@@ -157,7 +157,7 @@ def test_tp_step_matches_dp(devices):
         o = jax.device_put(tx.init(params),
                            parallel.param_sharding(mesh, tx.init(params), min_size=128))
         b = parallel.shard_batch(mesh, batch)
-        (p_new, _, _), m = step((p, o, {}), b, jax.random.key(1))
+        (p_new, _, _, _), m = step((p, o, {}, jax.random.key(1)), b)
         results.append((jax.tree_util.tree_map(np.asarray, p_new), float(m["loss"])))
     (p1, l1), (p2, l2) = results
     assert abs(l1 - l2) < 1e-6
