@@ -23,7 +23,8 @@ from bifold_tpu.data.utils import get_mask_from_depth
 from bifold_tpu.env.softgym_evaluator import SoftgymEvaluator, batchify
 from bifold_tpu.metrics.utils import iou
 
-__all__ = ["SoftgymBimanualEvaluator"]
+__all__ = ["SoftgymBimanualEvaluator", "SoftgymBimanualRolloutEvaluator",
+           "SoftgymBimanualRolloutEvaluatorDeng"]
 
 
 class SoftgymBimanualEvaluator(SoftgymEvaluator):
@@ -146,3 +147,90 @@ class SoftgymBimanualEvaluator(SoftgymEvaluator):
         for thresh in self.iou_thresholds:
             self.additional_metrics[f"iou_success_{thresh}"][self.task].append(
                 (iou_value > thresh) * 100)
+
+
+def _dual_arm_rollout_step(evaluator, sample: Dict, depth: np.ndarray) -> None:
+    """Shared model-action execution: dual-arm unless an arm is DUMMY-gated
+    (reference softgym_evaluator.py:519-540, repeated in the rollout
+    evaluators at :674-697 and :826-849)."""
+    action, _raw = evaluator.policy(batchify(sample))
+    env = evaluator.env
+    lp = np.asarray(action.left_pick).reshape(-1)[:2]
+    lpl = np.asarray(action.left_place).reshape(-1)[:2]
+    rp = np.asarray(action.right_pick).reshape(-1)[:2]
+    rpl = np.asarray(action.right_place).reshape(-1)[:2]
+    left_ok = np.all(lp >= 0) and np.all(lpl >= 0)
+    right_ok = np.all(rp >= 0) and np.all(rpl >= 0)
+    if left_ok and right_ok:
+        env.pick_and_place_dual(
+            env.get_world_coord_from_pixel(lp, depth),
+            env.get_world_coord_from_pixel(lpl, depth),
+            env.get_world_coord_from_pixel(rp, depth),
+            env.get_world_coord_from_pixel(rpl, depth))
+    elif right_ok:
+        env.pick_and_place_single(env.get_world_coord_from_pixel(rp, depth),
+                                  env.get_world_coord_from_pixel(rpl, depth))
+    else:
+        assert left_ok, "confidence gating must leave one arm active"
+        env.pick_and_place_single(env.get_world_coord_from_pixel(lp, depth),
+                                  env.get_world_coord_from_pixel(lpl, depth))
+
+
+class SoftgymBimanualRolloutEvaluator(SoftgymEvaluator):
+    """Open-ended instruction rollout from one cached frame
+    (reference softgym_evaluator.py:627-746): reset to the named state, then
+    execute a user-provided instruction sequence closed-loop, feeding each
+    executed step back as temporal context. No metrics — a demo/qualitative
+    driver."""
+
+    def evaluate(self, sample_name: str, instructions, **_) -> None:
+        self.cloth3d = True
+        self.load_cache("bimanual")
+        if sample_name not in self.cached_configs:
+            raise KeyError(f"{sample_name} not in the bimanual cache")
+        self.task = sample_name.split("_")[1] if "_" in sample_name else sample_name
+        self.reset(config=self.cached_configs[sample_name],
+                   state=self.cached_states[sample_name])
+        self._rollout(instructions)
+
+    def _rollout(self, instructions) -> None:
+        rgb, depth = self.env.render_image()
+        mask = get_mask_from_depth(depth)
+        context = []
+        for instruction in instructions:
+            sample = self.processor(
+                depth=depth, rgb=rgb, mask=mask, context=context,
+                instruction=instruction,
+                matrix_world_to_camera=self.env.camera_matrix, K=self.K)
+            _dual_arm_rollout_step(self, sample, depth)
+            context.append({"rgb": rgb.copy(), "mask": mask.copy(),
+                            "depth": depth.copy()})
+            rgb, depth = self.env.render_image()
+            mask = get_mask_from_depth(depth)
+
+
+class SoftgymBimanualRolloutEvaluatorDeng(SoftgymBimanualRolloutEvaluator):
+    """Two-instruction folding rollouts of the bimanual model on the Deng
+    unimanual cloth types (reference softgym_evaluator.py:750-892): per trial,
+    reset a cached Tshirt/Trousers scene (no rotation) and run the fixed
+    left-right + top-bottom half-fold instruction pair."""
+
+    instructions = {
+        "TshirtFold": ["Fold the Tshirt in half, left to right.",
+                       "Fold the Tshirt in half, top to bottom."],
+        "TrousersFold": ["Fold the Trousers in half, left to right.",
+                         "Fold the Trousers in half, top to bottom."],
+    }
+
+    def evaluate(self, num_evals: int, task: str, seed=None, **_) -> None:
+        from bifold_tpu.env.softgym_evaluator import task_to_cloth_type
+        cloth_type = task_to_cloth_type[task]
+        self.cloth3d = cloth_type not in ("Square", "Rectangular")
+        self.load_cache(cloth_type)
+        rng = np.random.default_rng(seed)
+        self.task = task
+        for _ in range(num_evals):
+            idx = int(rng.integers(len(self.cached_configs)))
+            self.reset(config=self.cached_configs[idx],
+                       state=self.cached_states[idx], task=task, random_angle=0)
+            self._rollout(self.instructions[task])
