@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from bifold_tpu.core.registry import Registry
@@ -40,12 +41,27 @@ _LOG_CLAMP = -100.0
 
 
 def binary_cross_entropy(p, target, reduction: str = "mean"):
-    """Elementwise BCE on probabilities with torch-style log clamping."""
+    """Elementwise BCE on probabilities: torch-exact values, finite gradients.
+
+    Values use torch's log clamp at -100. Gradients route through an
+    eps-clipped probability (torch's BCELoss backward also bounds the
+    denominator at 1e-12) — the naive ``max(log(p), -100)`` formulation
+    yields ``inf * 0 = NaN`` gradients the moment a sigmoid saturates to
+    exactly 0/1, which torch never surfaces because its backward is
+    hand-written. One saturated pixel would otherwise NaN the whole update
+    through the global-norm clip.
+    """
     p = p.astype(jnp.float32)
     target = target.astype(jnp.float32)
+    # lower eps matches torch's backward denominator bound; the upper bound
+    # must be representable in f32 (1 - 1e-12 rounds back to exactly 1.0)
+    p_safe = jnp.clip(p, 1e-12, 1.0 - 1e-6)
+    safe = -(target * jnp.log(p_safe) + (1.0 - target) * jnp.log1p(-p_safe))
     log_p = jnp.maximum(jnp.log(p), _LOG_CLAMP)
     log_1p = jnp.maximum(jnp.log1p(-p), _LOG_CLAMP)
-    loss = -(target * log_p + (1.0 - target) * log_1p)
+    exact = -(target * log_p + (1.0 - target) * log_1p)
+    # value = exact (torch parity incl. the -100 clamp); grad = d(safe)/dp
+    loss = safe + jax.lax.stop_gradient(exact - safe)
     if reduction == "mean":
         return loss.mean()
     if reduction == "sum":

@@ -62,6 +62,11 @@ def dot_product_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
 
+    import os
+    env_backend = os.environ.get("BIFOLD_ATTN_BACKEND")
+    if env_backend:
+        backend = env_backend
+
     use_flash = False
     if backend == "flash":
         use_flash = True

@@ -97,3 +97,24 @@ def test_composed_weights(rng):
     part_m, _ = build_loss({"name": "bce_mask"})(output, sample)
     assert abs(float(total) - (2 * float(part_g) + float(part_m))) < 1e-4
     assert "bce_gaussmap pick" in inter
+
+
+def test_bce_saturation_gradient_finite():
+    """Gradients must stay finite when sigmoid outputs saturate to exactly
+    0/1 (the naive clamped-log formulation yields inf*0 = NaN and one
+    saturated pixel NaNs the whole update through global-norm clipping)."""
+    import jax
+
+    def loss_of_logit(x, t):
+        p = jax.nn.sigmoid(x)
+        return binary_cross_entropy(p, t)
+
+    for logit, target in [(40.0, 0.0), (-40.0, 1.0), (120.0, 0.0),
+                          (0.0, 1.0), (-120.0, 1.0)]:
+        val, grad = jax.value_and_grad(loss_of_logit)(
+            jnp.float32(logit), jnp.float32(target))
+        assert np.isfinite(float(val)), (logit, target, float(val))
+        assert np.isfinite(float(grad)), (logit, target, float(grad))
+    # torch value parity holds at exact saturation (clamp at 100)
+    v = float(binary_cross_entropy(jnp.zeros((1,)), jnp.ones((1,))))
+    assert abs(v - 100.0) < 1e-5
