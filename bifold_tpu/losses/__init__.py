@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from bifold_tpu.core.registry import Registry
 
 __all__ = [
+    "binary_cross_entropy_with_logits",
     "Losses",
     "build_loss",
     "binary_cross_entropy",
@@ -69,6 +70,25 @@ def binary_cross_entropy(p, target, reduction: str = "mean"):
     return loss
 
 
+def binary_cross_entropy_with_logits(x, target, reduction: str = "mean"):
+    """Fused sigmoid+BCE on logits: grad = sigmoid(x) - t, never zero.
+
+    The TPU-native training path (SURVEY.md §7): BCE-on-probabilities cannot
+    escape exact sigmoid saturation (d sigmoid = 0 in f32 past |x| ~ 17;
+    the torch reference shares the pathology). Values agree with the
+    probability BCE to float precision while the sigmoid is unsaturated and
+    stay exact (softplus) beyond, where the clamped version plateaus at 100.
+    """
+    x = x.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    loss = jnp.maximum(x, 0.0) - x * target + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    if reduction == "mean":
+        return loss.mean()
+    if reduction == "sum":
+        return loss.sum()
+    return loss
+
+
 def _squeeze_mask(mask):
     """(B, 1, H, W) or (B, H, W) -> (B, H, W)."""
     if mask.ndim == 4:
@@ -91,7 +111,13 @@ def bce_gaussmap(is_bimanual: bool, mask_pick_heatmap: bool = False, **_) -> Los
             target = sample[f"{head}_heatmap"]
             if head.endswith("pick") and mask_pick_heatmap:
                 target = target * _squeeze_mask(sample["mask"])
-            curr = binary_cross_entropy(output[f"{head}_heatmap"], target)
+            if f"{head}_logits" in output:
+                # fused logits path: saturation-safe gradients
+                curr = binary_cross_entropy_with_logits(
+                    output[f"{head}_logits"], target)
+            else:
+                # probability path (mask-gated heads / raw-heatmap callers)
+                curr = binary_cross_entropy(output[f"{head}_heatmap"], target)
             intermediates[head] = curr
             total = total + curr
         return total, intermediates

@@ -324,6 +324,7 @@ class TextConditionedUNet(nn.Module):
         for nme in names:
             hm = nn.Dense(1, dtype=jnp.float32, name=f"{nme}_decoder")(
                 x.astype(jnp.float32))
+            out[f"{nme}_logits"] = hm[..., 0]
             out[f"{nme}_heatmap"] = jax.nn.sigmoid(hm[..., 0])
         return out
 

@@ -64,12 +64,14 @@ class PickPlaceConvDecoder(nn.Module):
 
         def head(name, feats):
             hm = ConvDecoder(self.dim, 1, dtype=jnp.float32, name=name)(feats)
-            return jax.nn.sigmoid(hm[..., 0].astype(jnp.float32))
+            return hm[..., 0].astype(jnp.float32)  # logits
 
         mask_hm = None
         if self.compute_mask:
-            mask_hm = head("mask_head", to_grid(inputs[-1].astype(jnp.float32)))
+            mask_logits = head("mask_head", to_grid(inputs[-1].astype(jnp.float32)))
+            mask_hm = jax.nn.sigmoid(mask_logits)
             out["mask_heatmap"] = mask_hm
+            out["mask_logits"] = mask_logits
             if self.detach_mask:
                 mask_hm = jax.lax.stop_gradient(mask_hm)
 
@@ -79,9 +81,15 @@ class PickPlaceConvDecoder(nn.Module):
             if self.is_bimanual else ["pick", "place"]
         )
         for n in names:
-            hm = head(f"{n}_decoder", grid)
+            logits = head(f"{n}_decoder", grid)
+            hm = jax.nn.sigmoid(logits)
             if mask_hm is not None and n.endswith("pick"):
+                # probability-space gating (reference pickplace.py:95-99);
+                # no logits emitted for gated heads — the loss falls back to
+                # the probability path there
                 hm = hm * mask_hm
+            else:
+                out[f"{n}_logits"] = logits
             out[f"{n}_heatmap"] = hm
         return out
 
@@ -173,6 +181,9 @@ class PickPlaceTransDecoder(nn.Module):
             pick_hm = jax.nn.sigmoid(pick[:, idx])
             if mask_hm is not None:
                 pick_hm = mask_hm * pick_hm
+            else:
+                out[f"{p}pick_logits"] = pick[:, idx]
             out[f"{p}pick_heatmap"] = pick_hm
             out[f"{p}place_heatmap"] = jax.nn.sigmoid(place[:, idx])
+            out[f"{p}place_logits"] = place[:, idx]
         return out

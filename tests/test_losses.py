@@ -118,3 +118,45 @@ def test_bce_saturation_gradient_finite():
     # torch value parity holds at exact saturation (clamp at 100)
     v = float(binary_cross_entropy(jnp.zeros((1,)), jnp.ones((1,))))
     assert abs(v - 100.0) < 1e-5
+
+
+def test_logits_bce_matches_probability_bce_unsaturated():
+    import jax
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-8, 8, (4, 16)).astype(np.float32)
+    t = rng.random((4, 16)).astype(np.float32)
+    from bifold_tpu.losses import binary_cross_entropy_with_logits
+    a = float(binary_cross_entropy_with_logits(jnp.asarray(x), jnp.asarray(t)))
+    b = float(binary_cross_entropy(jax.nn.sigmoid(jnp.asarray(x)), jnp.asarray(t)))
+    assert abs(a - b) < 1e-5
+
+
+def test_logits_bce_escapes_saturation():
+    """Gradient stays sigmoid(x) - t even at deep saturation — training can
+    recover where the probability path's gradient is exactly zero."""
+    import jax
+    from bifold_tpu.losses import binary_cross_entropy_with_logits
+
+    grad = jax.grad(lambda x: binary_cross_entropy_with_logits(
+        x, jnp.float32(1.0)))(jnp.float32(-50.0))
+    assert abs(float(grad) - (-1.0)) < 1e-5  # sigmoid(-50) - 1
+    grad0 = jax.grad(lambda x: binary_cross_entropy(
+        jax.nn.sigmoid(x), jnp.float32(1.0)))(jnp.float32(-50.0))
+    assert float(grad0) == 0.0  # the pathology the logits path fixes
+
+
+def test_bce_gaussmap_prefers_logits():
+    loss_fn = build_loss({"name": "bce_gaussmap", "is_bimanual": False,
+                          "mask_pick_heatmap": False})
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-30, 30, (2, 8, 8)).astype(np.float32)
+    import jax
+    p = np.asarray(jax.nn.sigmoid(jnp.asarray(x)))
+    t = rng.random((2, 8, 8)).astype(np.float32)
+    sample = {"pick_heatmap": t, "place_heatmap": t}
+    with_logits, _ = loss_fn({"pick_heatmap": p, "place_heatmap": p,
+                              "pick_logits": x, "place_logits": x}, sample)
+    probs_only, _ = loss_fn({"pick_heatmap": p, "place_heatmap": p}, sample)
+    assert np.isfinite(float(with_logits))
+    # at |x| up to 30 the probability path hits its clamp; logits path doesn't
+    assert float(with_logits) <= float(probs_only) + 1e-4
