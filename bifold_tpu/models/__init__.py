@@ -32,6 +32,7 @@ from bifold_tpu.ops.heatmap import decode_heatmap, gate_bimanual
 
 __all__ = [
     "Models",
+    "Components",
     "build_model",
     "decode_action",
     "get_action",
@@ -44,6 +45,20 @@ Models.register("siglip")(SigLip)
 Models.register("siglip_sequential")(SiglipSequential)
 Models.register("rgb_clip")(RGBOnly)
 Models.register("text_unet")(TextConditionedUNet)
+
+# Component registry (reference Components.get_by_name,
+# models/__init__.py:30-44): pick/place heads and fusion modules by name.
+from bifold_tpu.models.fusion import ConcatTransformer, CrossAttention  # noqa: E402
+from bifold_tpu.models.pickplace import (  # noqa: E402
+    PickPlaceConvDecoder,
+    PickPlaceTransDecoder,
+)
+
+Components: Registry = Registry("component")
+Components.register("pick_place_convdecoder")(PickPlaceConvDecoder)
+Components.register("pick_place_transdecoder")(PickPlaceTransDecoder)
+Components.register("concat_transformer")(ConcatTransformer)
+Components.register("crossattention")(CrossAttention)
 
 # config keys that are not Flax module fields
 _NON_FIELD_KEYS = {"name"}

@@ -221,9 +221,13 @@ class Trainer:
             jax.profiler.start_trace(str(self.run_dir / "profile"))
         self.key, loop_key = jax.random.split(self.key)
         state = (self.params, self.opt_state, self.extra_vars, loop_key)
+        checked_grads = not bool(self.cfg.get("debug"))
         for batch in self.train_dataloader:
             device_batch, _ = split_batch(batch)
             device_batch = parallel.shard_batch(self.mesh, device_batch)
+            if not checked_grads:
+                self._debug_check_gradients(state, device_batch)
+                checked_grads = True
             t0 = time.time()
             state, step_metrics = self._train_step(state, device_batch)
             loss = float(step_metrics["loss"])
@@ -253,6 +257,38 @@ class Trainer:
         print(f"[epoch {self.epoch}] loss={mean_loss:.4f} "
               f"({throughput:.1f} samples/s)")
         return mean_loss
+
+    def _debug_check_gradients(self, state, device_batch) -> None:
+        """Debug-mode invariant: every trainable parameter receives a nonzero
+        gradient on the first step (reference __main__.py:143-146)."""
+        params = state[0]
+        lora = bool(dict(self.cfg["model"]).get("lora", False))
+        mask = trainable_mask(params, lora=lora)
+
+        @jax.jit
+        def grads_of(p, batch, key):
+            def loss_of(pp):
+                out = self.model.apply({"params": pp, **self.extra_vars},
+                                       batch, deterministic=False,
+                                       rngs={"dropout": key})
+                return self.loss_fn(out, batch)[0]
+            return jax.grad(loss_of)(p)
+
+        grads = grads_of(params, device_batch, jax.random.key(0))
+        flat_g = jax.tree_util.tree_flatten_with_path(grads)[0]
+        flat_m = jax.tree_util.tree_leaves(mask)
+        dead = [jax.tree_util.keystr(path)
+                for (path, g), trainable in zip(flat_g, flat_m)
+                if trainable and float(jnp.abs(g).max()) == 0.0]
+        # lora_a has zero gradient at init by construction (lora_b starts at
+        # 0, peft semantics) — it wakes up once lora_b moves
+        dead = [d for d in dead if "lora_a" not in d]
+        if dead:
+            print(f"[debug] WARNING: {len(dead)} trainable params got zero "
+                  f"gradient, e.g. {dead[:5]}")
+        else:
+            print("[debug] all trainable params received gradients "
+                  "(lora_a excluded: zero at init by construction)")
 
     # ------------------------------------------------------------------
     # Evaluation (reference __main__.py:82-104,165-270)
