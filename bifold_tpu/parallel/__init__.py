@@ -38,27 +38,44 @@ __all__ = [
     "cross_replica_mean",
 ]
 
-BATCH_AXES = ("dp", "fsdp")
+BATCH_AXES = ("dcn", "dp", "fsdp")  # batch shards over every data axis present
+
+
+def _batch_axes(mesh: Mesh) -> tuple:
+    return tuple(a for a in BATCH_AXES if a in mesh.axis_names)
 
 
 def make_mesh(mesh_cfg: Optional[dict] = None,
               devices: Optional[list] = None) -> Mesh:
-    """Build the (dp, fsdp, tp) mesh from the ``mesh`` config node.
+    """Build the (dp, fsdp, tp) — optionally (dcn, dp, fsdp, tp) — mesh.
 
-    ``dp: -1`` absorbs all devices not claimed by fsdp/tp
-    (conf/config.yaml mesh defaults).
+    ``dp: -1`` absorbs all devices not claimed by the other axes
+    (conf/config.yaml mesh defaults). ``dcn > 1`` adds a leading slowest-
+    varying data axis for multi-slice / multi-host runs so cross-slice
+    traffic (gradient all-reduce over ``dcn``) stays coarse-grained while
+    fsdp/tp collectives ride ICI — the scaling-book 2-level layout. When a
+    multi-process JAX runtime is detected, devices group by process so the
+    dcn axis aligns with host boundaries.
     """
     cfg = dict(mesh_cfg or {})
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     fsdp = int(cfg.get("fsdp", 1))
     tp = int(cfg.get("tp", 1))
+    dcn = int(cfg.get("dcn", 1))
     dp = int(cfg.get("dp", -1))
     if dp == -1:
-        assert n % (fsdp * tp) == 0, f"{n} devices not divisible by fsdp*tp={fsdp * tp}"
-        dp = n // (fsdp * tp)
-    assert dp * fsdp * tp == n, (
-        f"mesh {dp}x{fsdp}x{tp} != {n} devices")
+        denom = dcn * fsdp * tp
+        assert n % denom == 0, f"{n} devices not divisible by dcn*fsdp*tp={denom}"
+        dp = n // denom
+    assert dcn * dp * fsdp * tp == n, (
+        f"mesh {dcn}x{dp}x{fsdp}x{tp} != {n} devices")
+    if dcn > 1 and jax.process_count() > 1:
+        # group by process so dcn = host/slice boundary
+        devices = sorted(devices, key=lambda d: (d.process_index, d.id))
+    if dcn > 1:
+        arr = np.asarray(devices).reshape(dcn, dp, fsdp, tp)
+        return Mesh(arr, axis_names=("dcn", "dp", "fsdp", "tp"))
     arr = np.asarray(devices).reshape(dp, fsdp, tp)
     return Mesh(arr, axis_names=("dp", "fsdp", "tp"))
 
@@ -68,8 +85,8 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch dim sharded over dp and fsdp (fsdp is a second data axis)."""
-    return NamedSharding(mesh, P(BATCH_AXES))
+    """Batch dim sharded over the data axes (dcn when present, dp, fsdp)."""
+    return NamedSharding(mesh, P(_batch_axes(mesh)))
 
 
 def _fsdp_spec(leaf: jnp.ndarray, fsdp_size: int, min_size: int,
@@ -141,14 +158,17 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     Non-array leaves (instruction strings, label_keys) pass through.
     """
     sharding = batch_sharding(mesh)
-    n_batch_shards = mesh.shape["dp"] * mesh.shape["fsdp"]
+    n_batch_shards = 1
+    for a in _batch_axes(mesh):
+        n_batch_shards *= mesh.shape[a]
 
     def put(x):
         if isinstance(x, (np.ndarray, jax.Array)) and getattr(x, "ndim", 0) > 0:
             if x.shape[0] % n_batch_shards:
                 raise ValueError(
-                    f"Batch dim {x.shape[0]} must be divisible by dp*fsdp="
-                    f"{n_batch_shards}; adjust batch_size or the mesh config")
+                    f"Batch dim {x.shape[0]} must be divisible by the "
+                    f"{n_batch_shards} data-axis shards; adjust batch_size "
+                    f"or the mesh config")
             return jax.device_put(x, sharding)
         return x
     return jax.tree_util.tree_map(put, batch)

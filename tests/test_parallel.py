@@ -163,3 +163,41 @@ def test_tp_step_matches_dp(devices):
     assert abs(l1 - l2) < 1e-6
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_hybrid_dcn_mesh(devices):
+    """(dcn, dp, fsdp, tp) hybrid mesh: batch shards across dcn x dp, step
+    numerics match the flat mesh."""
+    import optax
+    import flax.linen as nn
+
+    mesh = parallel.make_mesh({"dcn": 2, "dp": -1, "fsdp": 1, "tp": 1})
+    assert dict(mesh.shape) == {"dcn": 2, "dp": 4, "fsdp": 1, "tp": 1}
+    batch = {"x": np.arange(8 * 4, dtype=np.float32).reshape(8, 4)}
+    out = parallel.shard_batch(mesh, batch)
+    assert "dcn" in str(out["x"].sharding.spec)
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, b, deterministic=True):
+            return {"y": nn.Dense(4)(b["x"])}
+
+    def loss_fn(o, b):
+        return jnp.mean(o["y"] ** 2), {}
+
+    model = Tiny()
+    params = model.init(jax.random.key(0), batch)["params"]
+    tx = optax.sgd(0.1)
+    results = []
+    for cfg in ({"dp": -1, "fsdp": 1, "tp": 1}, {"dcn": 2, "dp": -1, "fsdp": 1, "tp": 1}):
+        m = parallel.make_mesh(cfg)
+        step = parallel.make_train_step(model, loss_fn, tx, donate=False)
+        p = jax.device_put(params, parallel.param_sharding(m, params))
+        o = jax.device_put(tx.init(params), parallel.param_sharding(m, tx.init(params)))
+        (p_new, _, _, _), metrics = step((p, o, {}, jax.random.key(1)),
+                                         parallel.shard_batch(m, batch))
+        results.append((jax.tree_util.tree_map(np.asarray, p_new), float(metrics["loss"])))
+    (p1, l1), (p2, l2) = results
+    assert abs(l1 - l2) < 1e-6
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(a, b, atol=1e-5)
