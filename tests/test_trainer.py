@@ -92,3 +92,23 @@ def test_cli_override_dirname():
     d = override_dirname(["model=siglip", "use_wandb=true", "optim.lr=1e-3"])
     assert d == "model=siglip,optim.lr=1e-3"
     assert override_dirname([]) == "default"
+
+
+def test_sequential_trainer_with_context(tmp_path):
+    """siglip_sequential end-to-end: context frames flow through collation,
+    augmentation, vision-tower batching, and the fusion attention mask."""
+    cfg = compose([
+        "train_dataset=synthetic", "test_dataset=null", "model=siglip_sequential",
+        "train_dataset.n_samples=8", "train_dataset.image_size=64",
+        "train_dataset.max_context_length=2",
+        "model.image_size=64", "model.automodel_name=tiny", "model.dim=64",
+        "model.depth=1", "model.heads=4", "model.r=2",
+        "epochs=1", "eval_epochs=0", "batch_size=8", "test_batch_size=8",
+        "simulator=null", f"run_dir={tmp_path}/run", "log_every=1",
+    ])
+    trainer = Trainer(Config(cfg), run_dir=tmp_path / "run")
+    trainer.prepare_train()
+    loss = trainer.train_epoch()
+    assert np.isfinite(loss)
+    _, metrics = trainer.eval_epoch(0)
+    assert np.isfinite(metrics["kp_mse"])
