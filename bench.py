@@ -41,6 +41,7 @@ def _flagship(batch: int, image_size: int = 384, context: int = 3):
         "automodel_name": f"google/siglip-base-patch16-{image_size}",
         "dim": 768, "lora": True, "r": 8, "lora_alpha": 32,
         "depth": 8, "heads": 16, "context_length": context,
+        "remat": bool(int(__import__("os").environ.get("BIFOLD_BENCH_REMAT", "0"))),
     }, dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)

@@ -40,8 +40,11 @@ def main(argv: list[str] | None = None) -> int:
               "processor, loss, optim, scheduler")
         return 0
     cfg = compose(overrides)
-    run_dir = Path(cfg["run_dir"]) / override_dirname(overrides)
-    trainer = Trainer(Config(cfg), run_dir=run_dir)
+    dirname = override_dirname(overrides)
+    run_dir = Path(cfg["run_dir"]) / dirname
+    # run naming mirrors the reference's wandb wiring: name = override
+    # string, group = train dataset (reference __main__.py:46-53)
+    trainer = Trainer(Config(cfg), run_dir=run_dir, run_name=dirname)
     if not cfg["eval_only"]:
         trainer.prepare_train()
         trainer.train()

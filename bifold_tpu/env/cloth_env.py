@@ -63,12 +63,17 @@ class ClothEnv:
 
     def __init__(self, render_dim: int = 224, particle_radius: float = 0.00625,
                  picker_radius: float = 0.01, picker_threshold: float = 0.005,
+                 picker_low=(-10.0, 0.0, -10.0), picker_high=(10.0, 10.0, 10.0),
                  dump_visualizations: bool = False, substeps: int = 4,
                  iterations: int = 12, native: Optional[bool] = None):
         self.particle_radius = particle_radius
         self.image_dim = render_dim
         self.picker_radius = picker_radius
         self.picker_threshold = picker_threshold
+        # workspace bounds; picker targets clamp inside (reference
+        # Picker._apply_picker_boundary, softgym_cloth_env.py:488-497)
+        self.picker_low = np.asarray(picker_low, np.float64)
+        self.picker_high = np.asarray(picker_high, np.float64)
         self.num_picker = 2
         self.dump_visualizations = dump_visualizations
         self.frames: List[np.ndarray] = []
@@ -95,6 +100,14 @@ class ClothEnv:
 
     def close(self) -> None:
         pass
+
+    def render_gif(self, path: str, fps: int = 30) -> None:
+        """Write accumulated dump_visualizations frames
+        (reference softgym_cloth_env.py:151-155)."""
+        import imageio.v2 as imageio
+        with imageio.get_writer(path, mode="I", fps=fps) as writer:
+            for frame in self.frames:
+                writer.append_data(frame)
 
     # ------------------------------------------------------------------
     # Scene / state
@@ -242,6 +255,9 @@ class ClothEnv:
                 self.picked_particles[i] = None
 
         new_picker_pos = np.asarray(targets, np.float64).reshape(self.num_picker, 3)
+        new_picker_pos = np.clip(new_picker_pos,
+                                 self.picker_low + self.picker_radius,
+                                 self.picker_high - self.picker_radius)
         for i in range(self.num_picker):
             if grasps[i] and self.picked_particles[i] is None:
                 d = np.linalg.norm(pos[:, :3] - picker_pos[i], axis=1)

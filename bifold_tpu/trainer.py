@@ -62,7 +62,8 @@ def split_batch(batch: Dict[str, Any]):
 
 
 class Trainer:
-    def __init__(self, cfg: Config, run_dir: Optional[str | Path] = None):
+    def __init__(self, cfg: Config, run_dir: Optional[str | Path] = None,
+                 run_name: Optional[str] = None):
         self.cfg = cfg
         self.run_dir = Path(run_dir if run_dir is not None else cfg["run_dir"])
         self.run_dir.mkdir(parents=True, exist_ok=True)
@@ -72,6 +73,7 @@ class Trainer:
         self.mesh = parallel.make_mesh(dict(cfg.get("mesh", {})))
         self.writer = Writer(self.run_dir, use_wandb=bool(cfg.get("use_wandb")),
                              group=str(dict(cfg["train_dataset"]).get("name")),
+                             name=run_name,
                              config=cfg.to_dict() if isinstance(cfg, Config) else dict(cfg))
 
         precision = dict(cfg.get("precision", {}))
