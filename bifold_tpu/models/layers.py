@@ -163,19 +163,24 @@ class TransformerBlock(nn.Module):
 
 
 class _ScanBody(nn.Module):
-    """One block as a scan step: carry = activations, per-step params."""
+    """One block as a scan step: carry = activations, per-step params.
+
+    ``deterministic`` rides as a static module attribute, not a scan operand
+    — under remat a scanned operand turns into a tracer and Python branches
+    (flax Dropout) would raise TracerBoolConversionError."""
 
     block_kwargs: Any
     remat: bool = False
+    deterministic: bool = True
 
     @nn.compact
-    def __call__(self, x, key_mask, legacy_query_mask, deterministic):
+    def __call__(self, x, key_mask, legacy_query_mask):
         block_cls = TransformerBlock
         if self.remat:
             block_cls = nn.remat(TransformerBlock, static_argnums=())
         x = block_cls(**dict(self.block_kwargs), name="block")(
             x, key_mask, legacy_query_mask=legacy_query_mask,
-            deterministic=deterministic)
+            deterministic=self.deterministic)
         return x, None
 
 
@@ -225,11 +230,11 @@ class Transformer(nn.Module):
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 length=self.depth,
-                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+                in_axes=(nn.broadcast, nn.broadcast),
             )
             x, _ = scan(block_kwargs=tuple(self._block_kwargs().items()),
-                        remat=self.remat, name="blocks")(
-                x, key_mask, legacy_query_mask, deterministic)
+                        remat=self.remat, deterministic=bool(deterministic),
+                        name="blocks")(x, key_mask, legacy_query_mask)
             return x
         block_cls = TransformerBlock
         if self.remat:
