@@ -197,17 +197,25 @@ class Trainer:
         cfg = self.cfg
         eval_epochs = int(cfg.get("eval_epochs") or 0)
         save_epochs = cfg.get("save_epochs")
-        for epoch in range(self.epoch, int(cfg["epochs"])):
-            self.epoch = epoch
-            self.train_epoch()
-            if eval_epochs and (epoch + 1) % eval_epochs == 0:
-                has_improved, metric_dict = self.eval_epoch(epoch)
-                self.writer.log({f"eval/{k}": v for k, v in metric_dict.items()},
-                                self.global_step)
-                if has_improved:
-                    self.save_model("best")
-            if save_epochs and (epoch + 1) % int(save_epochs) == 0:
-                self.save_model("last")
+        try:
+            for epoch in range(self.epoch, int(cfg["epochs"])):
+                self.epoch = epoch
+                self.train_epoch()
+                if eval_epochs and (epoch + 1) % eval_epochs == 0:
+                    has_improved, metric_dict = self.eval_epoch(epoch)
+                    self.writer.log({f"eval/{k}": v for k, v in metric_dict.items()},
+                                    self.global_step)
+                    if has_improved:
+                        self.save_model("best")
+                if save_epochs and (epoch + 1) % int(save_epochs) == 0:
+                    self.save_model("last")
+        except (KeyboardInterrupt, Exception):
+            # crash-resume is the recovery path (reference auto-resumes from
+            # last.pth, __main__.py:272-302): persist progress before dying
+            self.save_model("last")
+            print(f"[trainer] interrupted at epoch {self.epoch}; "
+                  f"saved checkpoints/last.ckpt for resume")
+            raise
         self.epoch = int(cfg["epochs"])
         self.save_model("last")
 
