@@ -175,12 +175,17 @@ class _ScanBody(nn.Module):
 
     @nn.compact
     def __call__(self, x, key_mask, legacy_query_mask):
-        block_cls = TransformerBlock
+        block = TransformerBlock(**dict(self.block_kwargs), name="block")
         if self.remat:
-            block_cls = nn.remat(TransformerBlock, static_argnums=())
-        x = block_cls(**dict(self.block_kwargs), name="block")(
-            x, key_mask, legacy_query_mask=legacy_query_mask,
-            deterministic=self.deterministic)
+            det = self.deterministic
+
+            def body_fn(mdl, xx, km, lqm):
+                return mdl(xx, km, legacy_query_mask=lqm, deterministic=det)
+
+            x = nn.remat(body_fn)(block, x, key_mask, legacy_query_mask)
+        else:
+            x = block(x, key_mask, legacy_query_mask=legacy_query_mask,
+                      deterministic=self.deterministic)
         return x, None
 
 
@@ -236,13 +241,17 @@ class Transformer(nn.Module):
                         remat=self.remat, deterministic=bool(deterministic),
                         name="blocks")(x, key_mask, legacy_query_mask)
             return x
-        block_cls = TransformerBlock
-        if self.remat:
-            block_cls = nn.remat(TransformerBlock, static_argnums=())
+        det = bool(deterministic)
         for i in range(self.depth):
-            x = block_cls(**self._block_kwargs(), name=f"block_{i}")(
-                x, key_mask, legacy_query_mask=legacy_query_mask,
-                deterministic=deterministic)
+            block = TransformerBlock(**self._block_kwargs(), name=f"block_{i}")
+            if self.remat:
+                def body_fn(mdl, xx, km, lqm, _det=det):
+                    return mdl(xx, km, legacy_query_mask=lqm, deterministic=_det)
+
+                x = nn.remat(body_fn)(block, x, key_mask, legacy_query_mask)
+            else:
+                x = block(x, key_mask, legacy_query_mask=legacy_query_mask,
+                          deterministic=det)
         return x
 
 
