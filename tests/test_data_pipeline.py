@@ -170,3 +170,27 @@ def test_graph_features(rng):
     assert s["pick_node_heatmap"].shape == (50,)
     assert s["pick_node_heatmap"].sum() >= 1
     assert s["pixel_sampled_pc"].shape == (50, 2)
+
+
+def test_clip_bpe_canonical_ids():
+    """Our from-scratch BPE reproduces CLIP's canonical tokenization when the
+    public merges file is available (gated; pass any copy of
+    bpe_simple_vocab_16e6.txt.gz via $BIFOLD_CLIP_BPE)."""
+    import os
+    from pathlib import Path
+
+    path = os.environ.get(
+        "BIFOLD_CLIP_BPE",
+        "/root/reference/bifold/models/clip/bpe_simple_vocab_16e6.txt.gz")
+    if not Path(path).exists():
+        import pytest
+        pytest.skip("CLIP BPE merges file not available")
+    from bifold_tpu.data.tokenizers import ClipBPETokenizer
+    tok = ClipBPETokenizer(path)
+    ids = tok("a photo of a cat")
+    n = int((ids != 0).sum())
+    # the canonical CLIP tokenization of this phrase (public knowledge)
+    assert ids[:n].tolist() == [49406, 320, 1125, 539, 320, 2368, 49407]
+    ids = tok("hello world!")
+    n = int((ids != 0).sum())
+    assert ids[:n].tolist() == [49406, 3306, 1002, 256, 49407]
