@@ -109,7 +109,7 @@ def flash_attention(
     key_mask=None,
     *,
     scale: float | None = None,
-    block_q: int = 256,
+    block_q: int = 1024,
     block_k: int = 512,
     interpret: bool = False,
 ):
@@ -128,7 +128,7 @@ def _flash_forward(
     key_mask=None,
     *,
     scale: float | None = None,
-    block_q: int = 256,
+    block_q: int = 1024,
     block_k: int = 512,
     interpret: bool = False,
 ):
@@ -137,8 +137,16 @@ def _flash_forward(
         scale = q.shape[-1] ** -0.5
     b, nq, h, d = q.shape
     nk = k.shape[1]
+    # Block auto-tuning (measured on v5e at the fusion/tower shapes): large
+    # q blocks + a single KV pass win whenever the (block_q, nk) f32 score
+    # tile fits comfortably in VMEM — the inner fori_loop then runs once and
+    # the kernel is two big MXU matmuls per grid step.
     block_q = min(block_q, max(128, 1 << (nq - 1).bit_length()))
-    block_k = min(block_k, max(128, 1 << (nk - 1).bit_length()))
+    nk_pad128 = -(-nk // 128) * 128
+    if block_q * nk_pad128 * 4 <= 8 * 1024 * 1024:
+        block_k = nk_pad128
+    else:
+        block_k = min(block_k, max(128, 1 << (nk - 1).bit_length()))
 
     if key_mask is None:
         key_mask = jnp.ones((b, nk), jnp.int32)
