@@ -1,16 +1,27 @@
-"""Pallas TPU flash attention (online-softmax, K/V streamed per Q block).
+"""Pallas TPU flash attention: online-softmax forward + blockwise backward.
 
 The fusion transformer's concat sequence (~text 65 + 3x577 context + 577
 current ≈ 2.4k tokens at 384 px) is the longest attention in the model and the
 reference materializes full (B, H, N, N) score tensors for it
-(/root/reference/bifold/models/transformer.py:28-43). This kernel never
-materializes scores in HBM: each grid step owns one (block_q, d) query tile in
-VMEM and streams (block_k, d) key/value tiles with the standard
-online-softmax recurrence (running max m, normalizer l, accumulator acc in
-float32), so HBM traffic is O(N*d) instead of O(N^2).
+(/root/reference/bifold/models/transformer.py:28-43). Neither direction here
+materializes scores in HBM:
+
+- forward: each grid step owns one (block_q, d) query tile in VMEM and walks
+  K/V tiles with the online-softmax recurrence (running max m, normalizer l,
+  accumulator in float32), emitting the output tile and the row logsumexp;
+- backward: two kernels recompute probabilities blockwise from the saved
+  logsumexp — a dq kernel blocked over queries and a dk/dv kernel blocked
+  over keys — so HBM traffic stays O(N*d) end to end and training memory no
+  longer carries (B, H, N, N) probability tensors.
 
 Layout in: (B, N, H, Dh); internally (B*H, N, Dh). Padding to block multiples
-is handled here (padded keys get key_mask 0; padded queries are sliced off).
+is handled here (padded keys get key_mask 0; padded queries are sliced off;
+padded-key lse rows are benign because their probabilities are masked).
+
+Block auto-tuning (measured on v5e at the fusion/tower shapes): large q
+blocks + a single KV pass win whenever the (block_q, nk) f32 score tile fits
+in a VMEM budget — the inner loop then runs once and each grid step is two
+big MXU matmuls.
 """
 
 from __future__ import annotations
@@ -27,35 +38,15 @@ __all__ = ["flash_attention"]
 _NEG = -100000.0  # matches the XLA backend / reference fill value
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale, block_k, kv_len):
-    q = q_ref[0].astype(jnp.float32) * scale  # (bq, d)
-    bq = q.shape[0]
-    d = q.shape[1]
-    num_k = kv_len // block_k
-
-    def body(i, carry):
-        acc, m, l = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)  # (bk, d)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (bq, bk)
-        kmask = mask_ref[0, 0, pl.ds(i * block_k, block_k)]  # (bk,)
-        s = jnp.where(kmask[None, :] == 0, _NEG, s)
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return acc_new, m_new, l_new
-
-    acc0 = jnp.zeros((bq, d), jnp.float32)
-    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_k, body, (acc0, m0, l0))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+def _pick_blocks(nq: int, nk: int, block_q: int, block_k: int,
+                 vmem_budget: int = 8 * 1024 * 1024):
+    block_q = min(block_q, max(128, 1 << (nq - 1).bit_length()))
+    nk_pad128 = -(-nk // 128) * 128
+    if block_q * nk_pad128 * 4 <= vmem_budget:
+        block_k = nk_pad128
+    else:
+        block_k = min(block_k, max(128, 1 << (nk - 1).bit_length()))
+    return block_q, block_k
 
 
 def _pad_to(x, axis, mult):
@@ -68,6 +59,42 @@ def _pad_to(x, axis, mult):
     return jnp.pad(x, widths)
 
 
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
+                scale, block_k, kv_len):
+    q = q_ref[0].astype(jnp.float32) * scale  # (bq, d)
+    bq, d = q.shape
+    num_k = kv_len // block_k
+
+    def body(i, carry):
+        acc, m, l = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        kmask = mask_ref[0, 0, pl.ds(i * block_k, block_k)]
+        s = jnp.where(kmask[None, :] == 0, _NEG, s)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return acc_new, m_new, l_new
+
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_k, body, (acc0, m0, l0))
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    lse_ref[0, 0] = (m + jnp.log(l_safe))[:, 0]
+
+
 def _xla_reference(q, k, v, key_mask, scale):
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
     if key_mask is not None:
@@ -76,26 +103,216 @@ def _xla_reference(q, k, v, key_mask, scale):
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnames=("scale", "block_q", "block_k", "interpret"))
+def _prepare(q, k, v, key_mask, block_q, block_k):
+    b, nq, h, d = q.shape
+    nk = k.shape[1]
+    if key_mask is None:
+        key_mask = jnp.ones((b, nk), jnp.int32)
+    key_mask = key_mask.astype(jnp.int32)
+
+    def to_bh(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * x.shape[2], x.shape[1], d)
+
+    qb = _pad_to(to_bh(q), 1, block_q)
+    kb = _pad_to(to_bh(k), 1, block_k)
+    vb = _pad_to(to_bh(v), 1, block_k)
+    # (B*H, 1, nk_pad): 3-D so the mask block's trailing dims equal the array
+    # dims (TPU tiling: trailing block dims divide (8, 128) OR equal the
+    # array's — a (1, nk) 2-D block satisfies neither).
+    maskb = jnp.repeat(_pad_to(key_mask, 1, block_k), h, axis=0)[:, None, :]
+    return qb, kb, vb, maskb
+
+
+def _forward_with_lse(q, k, v, key_mask, scale, block_q, block_k, interpret):
+    b, nq, h, d = q.shape
+    nk = k.shape[1]
+    block_q, block_k = _pick_blocks(nq, nk, block_q, block_k)
+    qb, kb, vb, maskb = _prepare(q, k, v, key_mask, block_q, block_k)
+    nq_pad, nk_pad = qb.shape[1], kb.shape[1]
+    bh = qb.shape[0]
+    grid = (bh, nq_pad // block_q)
+
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, block_k=block_k,
+                          kv_len=nk_pad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, nq_pad), jnp.float32),
+        ),
+        interpret=interpret,
+    )(qb, kb, vb, maskb)
+    return out, lse, (block_q, block_k, nq_pad, nk_pad)
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+               dq_ref, *, scale, block_k, kv_len):
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0][:, None]      # (bq, 1)
+    delta = delta_ref[0, 0][:, None]  # (bq, 1)
+    bq, d = q.shape
+    num_k = kv_len // block_k
+
+    def body(i, dq):
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        kmask = mask_ref[0, 0, pl.ds(i * block_k, block_k)]
+        s = jnp.where(kmask[None, :] == 0, _NEG, s)
+        p = jnp.exp(s - lse)                                  # (bq, bk)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        return dq + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(0, num_k, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, *, scale, block_q, q_len):
+    k = k_ref[0].astype(jnp.float32)  # (bk, d)
+    v = v_ref[0].astype(jnp.float32)
+    kmask = mask_ref[0, 0]            # (bk,)
+    bk, d = k.shape
+    num_q = q_len // block_q
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale       # (bq, bk)
+        s = jnp.where(kmask[None, :] == 0, _NEG, s)
+        p = jnp.exp(s - lse)
+        dv_new = dv + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale                         # (bq, bk)
+        dk_new = dk + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return dk_new, dv_new
+
+    dk0 = jnp.zeros((bk, d), jnp.float32)
+    dv0 = jnp.zeros((bk, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_q, body, (dk0, dv0))
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _backward(q, k, v, key_mask, out, lse, g, scale, block_q, block_k,
+              interpret):
+    b, nq, h, d = q.shape
+    nk = k.shape[1]
+    block_q, block_k = _pick_blocks(nq, nk, block_q, block_k)
+    qb, kb, vb, maskb = _prepare(q, k, v, key_mask, block_q, block_k)
+    gb = _pad_to(g.transpose(0, 2, 1, 3).reshape(b * h, nq, d), 1, block_q)
+    nq_pad, nk_pad = qb.shape[1], kb.shape[1]
+    bh = qb.shape[0]
+
+    # delta_i = sum_d dO_i * O_i  (rowwise), padded like lse: (bh, 1, nq_pad)
+    delta = jnp.sum(gb.astype(jnp.float32)
+                    * _pad_to(out.astype(jnp.float32), 1, block_q), axis=-1)
+    delta = delta[:, None, :]
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, block_k=block_k,
+                          kv_len=nk_pad),
+        grid=(bh, nq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
+        interpret=interpret,
+    )(qb, kb, vb, maskb, gb, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, block_q=block_q,
+                          q_len=nq_pad),
+        grid=(bh, nk_pad // block_k),
+        in_specs=[
+            pl.BlockSpec((1, nq_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nq_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nq_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, nk_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, nk_pad, d), v.dtype),
+        ),
+        interpret=interpret,
+    )(qb, kb, vb, maskb, gb, lse, delta)
+
+    def from_bh(x, n):
+        return x[:, :n].reshape(b, h, n, d).transpose(0, 2, 1, 3)
+
+    return from_bh(dq, nq), from_bh(dk, nk), from_bh(dv, nk)
+
+
+# ---------------------------------------------------------------------------
+# Public API (custom VJP)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnames=("scale", "block_q", "block_k", "interpret"))
 def _flash_with_vjp(q, k, v, key_mask, scale, block_q, block_k, interpret):
-    return _flash_forward(q, k, v, key_mask, scale=scale, block_q=block_q,
-                          block_k=block_k, interpret=interpret)
+    out, _, _ = _forward_with_lse(q, k, v, key_mask, scale, block_q, block_k,
+                                  interpret)
+    b, nq, h, d = q.shape
+    return out[:, :nq].reshape(b, h, nq, d).transpose(0, 2, 1, 3)
 
 
 def _flash_fwd(q, k, v, key_mask, scale, block_q, block_k, interpret):
-    out = _flash_forward(q, k, v, key_mask, scale=scale, block_q=block_q,
-                         block_k=block_k, interpret=interpret)
-    return out, (q, k, v, key_mask)
+    out_bh, lse, _ = _forward_with_lse(q, k, v, key_mask, scale, block_q,
+                                       block_k, interpret)
+    b, nq, h, d = q.shape
+    out = out_bh[:, :nq].reshape(b, h, nq, d).transpose(0, 2, 1, 3)
+    return out, (q, k, v, key_mask, out_bh, lse)
 
 
 def _flash_bwd(scale, block_q, block_k, interpret, res, g):
-    # Backward recomputes attention through the XLA expression; the Pallas
-    # kernel is forward-only for now (a blockwise dq/dk/dv kernel is a later
-    # perf-pass item). Memory is O(N^2) per (b, h) during backward only.
-    q, k, v, key_mask = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, key_mask, scale),
-                     q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, key_mask, out_bh, lse = res
+    dq, dk, dv = _backward(q, k, v, key_mask, out_bh, lse, g, scale,
+                           block_q, block_k, interpret)
     return dq, dk, dv, None
 
 
@@ -113,8 +330,9 @@ def flash_attention(
     block_k: int = 512,
     interpret: bool = False,
 ):
-    """Flash attention over (B, N, H, Dh) -> (B, N, H, Dh). Differentiable
-    (custom VJP; backward recomputes via XLA)."""
+    """Flash attention over (B, N, H, Dh) -> (B, N, H, Dh). Fully
+    differentiable; forward and backward are Pallas kernels (backward
+    recomputes probabilities blockwise from the saved row logsumexp)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     return _flash_with_vjp(q, k, v, key_mask, scale, block_q, block_k, interpret)
@@ -132,56 +350,10 @@ def _flash_forward(
     block_k: int = 512,
     interpret: bool = False,
 ):
-    """Flash attention forward over (B, N, H, Dh) -> (B, N, H, Dh)."""
+    """Forward-only entry point (kept for benchmarks/tests)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    out, _, _ = _forward_with_lse(q, k, v, key_mask, scale, block_q, block_k,
+                                  interpret)
     b, nq, h, d = q.shape
-    nk = k.shape[1]
-    # Block auto-tuning (measured on v5e at the fusion/tower shapes): large
-    # q blocks + a single KV pass win whenever the (block_q, nk) f32 score
-    # tile fits comfortably in VMEM — the inner fori_loop then runs once and
-    # the kernel is two big MXU matmuls per grid step.
-    block_q = min(block_q, max(128, 1 << (nq - 1).bit_length()))
-    nk_pad128 = -(-nk // 128) * 128
-    if block_q * nk_pad128 * 4 <= 8 * 1024 * 1024:
-        block_k = nk_pad128
-    else:
-        block_k = min(block_k, max(128, 1 << (nk - 1).bit_length()))
-
-    if key_mask is None:
-        key_mask = jnp.ones((b, nk), jnp.int32)
-    key_mask = key_mask.astype(jnp.int32)
-
-    # (B, N, H, D) -> (B*H, N, D)
-    def to_bh(x):
-        return x.transpose(0, 2, 1, 3).reshape(b * x.shape[2], x.shape[1], d)
-
-    qb = _pad_to(to_bh(q), 1, block_q)
-    kb = _pad_to(to_bh(k), 1, block_k)
-    vb = _pad_to(to_bh(v), 1, block_k)
-    # (B*H, 1, nk_pad): kept 3-D so the mask block's trailing dims equal the
-    # array dims (TPU requires trailing block dims divisible by (8, 128) OR
-    # equal to the array's — a (1, nk) 2-D block satisfies neither).
-    maskb = jnp.repeat(_pad_to(key_mask, 1, block_k), h, axis=0)[:, None, :]
-
-    nq_pad, nk_pad = qb.shape[1], kb.shape[1]
-    grid = (b * h, nq_pad // block_q)
-
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, block_k=block_k, kv_len=nk_pad),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nk_pad, d), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nk_pad, d), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nk_pad), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b * h, nq_pad, d), q.dtype),
-        interpret=interpret,
-    )(qb, kb, vb, maskb)
-
-    out = out[:, :nq].reshape(b, h, nq, d).transpose(0, 2, 1, 3)
-    return out
+    return out[:, :nq].reshape(b, h, nq, d).transpose(0, 2, 1, 3)

@@ -89,3 +89,26 @@ def test_flash_grad_flows(rng):
     g = jax.grad(loss)(q)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_flash_backward_matches_xla_reference():
+    """Blockwise Pallas backward (dq/dk/dv from saved logsumexp) vs the wide
+    XLA attention gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from bifold_tpu.ops.flash_attention import _xla_reference, flash_attention
+
+    rng = np.random.default_rng(0)
+    b, n, h, d = 2, 300, 4, 48
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    mask = jnp.asarray(rng.integers(0, 2, (b, n)).astype(np.int32)).at[:, :4].set(1)
+
+    g_flash = jax.grad(lambda *a: (flash_attention(*a, mask, interpret=True) ** 2).sum(),
+                       argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(lambda *a: (_xla_reference(*a, mask, d ** -0.5) ** 2).sum(),
+                     argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_flash, g_ref):
+        assert float(jnp.abs(a - b_).max()) < 1e-4
