@@ -63,7 +63,11 @@ class PickPlaceConvDecoder(nn.Module):
             return t.reshape(t.shape[0], sqrt_p, sqrt_p, t.shape[-1])
 
         def head(name, feats):
-            hm = ConvDecoder(self.dim, 1, dtype=jnp.float32, name=name)(feats)
+            # always rematerialized: the decoder is 5 pointwise matmuls (cheap
+            # to recompute) but its f32 activation pyramid up to (B, H*W, C)
+            # dominates training memory at full resolution
+            dec = ConvDecoder(self.dim, 1, dtype=jnp.float32, name=name)
+            hm = nn.remat(lambda mdl, x: mdl(x))(dec, feats)
             return hm[..., 0].astype(jnp.float32)  # logits
 
         mask_hm = None

@@ -112,3 +112,25 @@ def test_sequential_trainer_with_context(tmp_path):
     assert np.isfinite(loss)
     _, metrics = trainer.eval_epoch(0)
     assert np.isfinite(metrics["kp_mse"])
+
+
+def test_serving_model_from_checkpoint(trained):
+    """Fixed-shape serving path: load best/last checkpoint, predict from raw
+    host arrays, no recompile across instructions."""
+    tmp_path, cfg, trainer, _ = trained
+    from bifold_tpu.serving import ServingModel
+
+    server = ServingModel.from_checkpoint(
+        str(trainer.ckpt_dir / "last.ckpt"), cfg)
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)
+    depth = rng.random((96, 96)).astype(np.float32)
+    mask = (rng.random((96, 96)) > 0.5).astype(np.float32)
+    a1 = server.predict(rgb=rgb, depth=depth, mask=mask,
+                        instruction="fold the towel in half")
+    a2, raw = server.predict(rgb=rgb, depth=depth, mask=mask,
+                             instruction="a totally different instruction",
+                             return_raw_output=True)
+    assert a1.pick.shape == (1, 2)
+    assert raw["pick_heatmap"].shape == (1, 64, 64)
+    assert (a2.pick >= 0).all() and (a2.pick < 64).all()
