@@ -238,6 +238,8 @@ class Trainer:
             if not checked_grads:
                 self._debug_check_gradients(state, device_batch)
                 checked_grads = True
+            if self.cfg.get("visualize_model_inputs") and self.global_step == 0:
+                self._visualize_model_inputs(batch)
             t0 = time.time()
             state, step_metrics = self._train_step(state, device_batch)
             loss = float(step_metrics["loss"])
@@ -267,6 +269,20 @@ class Trainer:
         print(f"[epoch {self.epoch}] loss={mean_loss:.4f} "
               f"({throughput:.1f} samples/s)")
         return mean_loss
+
+    def _visualize_model_inputs(self, batch) -> None:
+        """Dump the first train batch's inputs + targets for inspection
+        (reference __main__.py:132-133,334-394)."""
+        from bifold_tpu.utils.visualization import save_predictions
+        out = str(self.run_dir / "input_viz")
+        raw_rgb = np.asarray(batch.get("raw_rgb"))
+        depth = np.asarray(batch.get("depth")) if "depth" in batch else None
+        for j in range(min(len(raw_rgb), 4)):
+            heatmaps = {k: np.asarray(v)[j] for k, v in batch.items()
+                        if k.endswith("_heatmap") and not isinstance(v, list)}
+            save_predictions(
+                out, f"{j}.png", rgb=raw_rgb[j],
+                depth=depth[j] if depth is not None else None, **heatmaps)
 
     def _debug_check_gradients(self, state, device_batch) -> None:
         """Debug-mode invariant: every trainable parameter receives a nonzero
