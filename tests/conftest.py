@@ -19,6 +19,15 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
+# Persistent compile cache: this is a 1-CPU machine and XLA compiles dominate
+# suite runtime; repeated runs (CI, the driver) hit the cache and run in a
+# fraction of the cold time.
+from pathlib import Path
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parent.parent / ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np
 import pytest
 
