@@ -78,7 +78,13 @@ class SoftgymEvaluator:
     def load_cache(self, cloth_type: str) -> None:
         path = os.path.join(self.cache, cloth_type + ".pkl")
         if not os.path.exists(path):
-            from bifold_tpu.env.cache_builder import build_cache
+            from bifold_tpu.env.cache_builder import CLOTH_TYPES, build_cache
+            if cloth_type not in CLOTH_TYPES:
+                # the bimanual replay cache is keyed by dataset frame names
+                # and cannot be synthesized procedurally
+                raise FileNotFoundError(
+                    f"{path} not found; the '{cloth_type}' cache must be "
+                    f"built from the dataset (see env/cache_builder.py)")
             build_cache(cloth_type, self.cache, n_configs=5)
         with open(path, "rb") as f:
             config_data = pickle.load(f)
@@ -268,8 +274,14 @@ def run_softgym_eval(trainer) -> tuple:
             processor=trainer.processor,
             image_size=int(dict(cfg["model"])["image_size"]),
             run_dir=str(trainer.run_dir))
-        evaluator.evaluate(dataloader=trainer.test_dataloader,
-                           num_evals=int(cfg.get("num_evals", 50)))
+        try:
+            evaluator.evaluate(dataloader=trainer.test_dataloader,
+                               num_evals=int(cfg.get("num_evals", 50)))
+        except (FileNotFoundError, KeyError, TypeError) as e:
+            print(f"[softgym] bimanual replay cache unavailable ({e}); "
+                  f"falling back to pixel metrics")
+            evaluator.close()
+            return trainer.eval_epoch_pixel()
     else:
         evaluator = SoftgymSingleEvaluator(
             cache_dir=cfg["softgym_cache"], policy=policy,
