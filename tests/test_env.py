@@ -166,3 +166,68 @@ def test_evaluator_one_trial(tmp_path):
     assert "error CornerFold si" in summary
     assert "average_success" in summary
     assert 0 <= summary["average_success"] <= 100
+
+
+def test_oracle_pixel_roundtrip_consistency(tmp_path):
+    """Geometric chain check: answering with the ground-truth keypoint action
+    projected to pixels (then unprojected by the evaluator through the
+    rendered depth) must track the oracle rollout to a few particle radii —
+    validating camera matrices, rendering, unprojection, and the grasp
+    primitive together."""
+    from bifold_tpu.data.processor import Processor
+    from bifold_tpu.env.action import Action
+    from bifold_tpu.env.softgym_evaluator import SoftgymSingleEvaluator
+    from bifold_tpu.ops.geometry import pixel_from_world
+
+    res = 224
+    proc = Processor({"model_image_size": res, "text_encoder": None, "sigma": 5,
+                      "requires_graph": False, "spatial_augment": False,
+                      "strategy": "gmm", "mask_depth": True,
+                      "standardize_depth": False}, partition="test",
+                     max_context_length=3)
+
+    class PixelOracle:
+        queue = None
+
+        def __call__(self, batch):
+            return self.queue.pop(0), None
+
+    policy = PixelOracle()
+    ev = SoftgymSingleEvaluator(cache_dir=str(tmp_path), policy=policy,
+                                processor=proc, image_size=res)
+    ev.env = ClothEnv(render_dim=res, substeps=2, iterations=8)
+    ev.K = ev.env.intrinsic_from_fov(res, res)
+    ev.error_threshold = ev.env.particle_radius * 2
+
+    orig = ev.execute_model
+
+    def execute_model(eval_data, keypoints_index, eval_index, eval_name, *a, **kw):
+        class LazyQueue:
+            def pop(self, _):
+                kp = ev.env.get_keypoints(keypoints_index)
+                i = len(ev.additional_metrics["error"][ev.task][eval_name])
+                idx = i % len(eval_data["pick"])
+                pick_pos = kp[eval_data["pick"][idx]]
+                place_pos = pick_pos + eval_data["gammas"][idx] * (
+                    kp[eval_data["place"][idx]] - pick_pos)
+
+                def to_px(w):
+                    uv = np.asarray(pixel_from_world(
+                        w[None], ev.env.camera_matrix, ev.K))
+                    return np.clip(uv[:, 0], 0, res - 1)
+
+                return Action(pick=to_px(pick_pos)[None],
+                              place=to_px(place_pos)[None])
+
+        policy.queue = LazyQueue()
+        return orig(eval_data, keypoints_index, eval_index, eval_name, *a, **kw)
+
+    ev.execute_model = execute_model
+    ev.evaluate(num_evals=1, task="CornerFold", seed=0)
+    errors = ev.additional_metrics["error"]["CornerFold"]["si"]
+    ious = ev.additional_metrics["iou"]["CornerFold"]["si"]
+    # within a few particle radii throughout the 4-fold sequence; the first
+    # fold's silhouette closely matches the oracle's (later folds compare
+    # ever-smaller silhouettes, where small positional drift dominates IoU)
+    assert max(errors) < 6 * ev.env.particle_radius, errors
+    assert ious[0] > 55, ious
