@@ -27,7 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 import yaml
 
-from bifold_tpu import models as models_lib
 from bifold_tpu import parallel
 from bifold_tpu.config import Config, save as save_config
 from bifold_tpu.data import get_dataloaders
