@@ -65,15 +65,21 @@ _NON_FIELD_KEYS = {"name"}
 
 
 def build_model(cfg: dict, **overrides: Any):
-    """Instantiate a model module from its config node (keys = fields)."""
+    """Instantiate a model module from its config node (keys = fields).
+
+    Unknown *config* keys are an error (config keys ARE constructor
+    signatures, reference models/__init__.py:26-27); unknown *overrides*
+    (trainer conveniences like ``remat`` that only some families accept) are
+    dropped silently.
+    """
     node = {k: (tuple(v) if isinstance(v, list) else v)
             for k, v in dict(cfg).items() if k not in _NON_FIELD_KEYS}
-    node.update(overrides)
     cls = Models.get(dict(cfg)["name"])
     valid = {f.name for f in cls.__dataclass_fields__.values()}  # type: ignore[attr-defined]
     unknown = set(node) - valid
     if unknown:
         raise TypeError(f"{cls.__name__} got unknown config keys: {sorted(unknown)}")
+    node.update({k: v for k, v in overrides.items() if k in valid})
     return cls(**node)
 
 

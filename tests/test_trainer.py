@@ -134,3 +134,27 @@ def test_serving_model_from_checkpoint(trained):
     assert a1.pick.shape == (1, 2)
     assert raw["pick_heatmap"].shape == (1, 64, 64)
     assert (a2.pick >= 0).all() and (a2.pick < 64).all()
+
+
+def test_text_unet_trainer_batch_stats(tmp_path):
+    """TextConditionedUNet end-to-end: exercises the mutable batch_stats
+    collection through the train step (BatchNorm) and checkpointing."""
+    cfg = compose([
+        "train_dataset=synthetic", "test_dataset=null", "model=text_unet",
+        "train_dataset.n_samples=8", "train_dataset.image_size=64",
+        "model.image_size=64", "model.features=[8,16,32]",
+        "epochs=1", "eval_epochs=0", "batch_size=8", "test_batch_size=8",
+        "simulator=null", f"run_dir={tmp_path}/run", "log_every=1",
+    ])
+    trainer = Trainer(Config(cfg), run_dir=tmp_path / "run")
+    assert trainer.has_batch_stats
+    trainer.prepare_train()
+    loss = trainer.train_epoch()
+    assert np.isfinite(loss)
+    # batch_stats moved away from init (BatchNorm saw data)
+    import jax
+    stats = jax.tree_util.tree_leaves(trainer.extra_vars["batch_stats"])
+    assert any(float(np.abs(np.asarray(s)).max()) > 0 for s in stats)
+    trainer.save_model("last")
+    _, metrics = trainer.eval_epoch(0)
+    assert np.isfinite(metrics["kp_mse"])
