@@ -137,17 +137,36 @@ class ClothEnv:
                 verts = np.asarray(config["vertices"], np.float32)
                 faces = np.asarray(config["faces"], np.int64)
             else:
-                verts, faces = load_obj(config["mesh_path"])
+                mesh_path = config.get("mesh_path")
+                if mesh_path is None and "cloth_index" in config:
+                    # reference-format CLOTH3D configs address meshes by
+                    # index under $CLOTH3D_PATH/<type-prefix>/%04d.obj
+                    # (softgym_cloth3d.h:315-340); resolve them here so the
+                    # reference's softgym cache pickles load unchanged
+                    import os
+                    prefix = {0: "Tshirt", 1: "Trousers", 2: "Bimanual"}.get(
+                        int(config.get("cloth_type", 2)), "Bimanual")
+                    mesh_path = os.path.join(
+                        os.environ.get("CLOTH3D_PATH", "."), prefix,
+                        f"{int(config['cloth_index']):04d}.obj")
+                verts, faces = load_obj(mesh_path)
             scale = config.get("scale", 1.0)
             verts = verts * scale
             self.sim.set_cloth(verts, faces, mass=config.get("mass", 0.5))
             from scipy.spatial.transform import Rotation as R
             rot = config.get("rot", 0.0)
+            if "vertices" in config:
+                # procedural garments are authored flat in the XZ plane; only
+                # the yaw applies
+                euler = [0, rot * 180 / np.pi, 0]
+            else:
+                # CLOTH3D meshes are canonically upright: flip them flat
+                # (reference set_cloth3d_scene, softgym_cloth_env.py:755-757)
+                euler = [180, rot * 180 / np.pi, 90]
             pos = self.sim.get_positions()
             center = pos[:, :3].mean(axis=0)
-            pos[:, :3] = R.from_euler(
-                "zyx", [180, rot * 180 / np.pi, 90], degrees=True
-            ).apply(pos[:, :3] - center) + center
+            pos[:, :3] = R.from_euler("zyx", euler, degrees=True).apply(
+                pos[:, :3] - center) + center
             self.sim.set_positions(pos)
             move_to_pos(self, [0, 0.05, 0])
         else:

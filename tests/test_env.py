@@ -231,3 +231,55 @@ def test_oracle_pixel_roundtrip_consistency(tmp_path):
     # ever-smaller silhouettes, where small positional drift dominates IoU)
     assert max(errors) < 6 * ev.env.particle_radius, errors
     assert ious[0] > 55, ious
+
+
+def test_trousers_closed_loop_oracle(tmp_path):
+    """Garment-mesh closed loop: the TrousersFold oracle executes its
+    3-action script on the procedural trousers mesh (dual-column fold then
+    half fold) and meaningfully shrinks the silhouette."""
+    from bifold_tpu.env.cache_builder import build_cache
+    import pickle
+
+    path = build_cache("Trousers", tmp_path, n_configs=1, settle_steps=20)
+    with open(path, "rb") as f:
+        cache = pickle.load(f)
+    e = ClothEnv(render_dim=96, substeps=2, iterations=8)
+    e.reset(cache["configs"][0], state=cache["states"][0], cloth3d=True,
+            lift_height=0.15)
+    kp_idx = cache["keypoints"][0]
+    demo = Demonstrator["TrousersFold"]()
+    seen, _, _ = demo.get_eval_instruction()
+
+    _, depth0 = e.render_image()
+    area0 = get_mask_from_depth(depth0).sum()
+    for pick_i, place_i, gamma in zip(seen["pick"], seen["place"], seen["gammas"]):
+        kp = e.get_keypoints(kp_idx)
+        pick = kp[pick_i]
+        place = pick + gamma * (kp[place_i] - pick)
+        e.pick_and_place_single(pick.copy(), place.copy())
+    _, depth1 = e.render_image()
+    area1 = get_mask_from_depth(depth1).sum()
+    assert area1 < 0.62 * area0, (area0, area1)  # folded at least ~40% smaller
+
+
+def test_cloth3d_config_mesh_resolution(tmp_path, monkeypatch):
+    """Reference-format CLOTH3D configs (cloth_index + $CLOTH3D_PATH) load."""
+    from bifold_tpu.env.garments import tshirt_mesh
+    from bifold_tpu.env.sim import grid_cloth
+
+    verts, faces, _ = tshirt_mesh(resolution=17)
+    obj_dir = tmp_path / "Trousers"
+    obj_dir.mkdir()
+    lines = [f"v {x} {y} {z}" for x, y, z in verts]
+    lines += ["f " + " ".join(str(i + 1) for i in f) for f in faces]
+    (obj_dir / "0003.obj").write_text("\n".join(lines))
+    monkeypatch.setenv("CLOTH3D_PATH", str(tmp_path))
+
+    e = ClothEnv(render_dim=64, substeps=2, iterations=6)
+    cfg = square_cloth_config(2, 2)
+    cfg.pop("ClothSize")
+    cfg.update({"cloth_type": 1, "cloth_index": 3, "scale": 1.0, "rot": 0.0,
+                "mass": 0.5})
+    e.reset(cfg, cloth3d=True, settle_steps=3)
+    assert len(e.sim.get_positions()) == len(np.unique(
+        np.round(verts / 1e-6).astype(np.int64), axis=0))
