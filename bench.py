@@ -225,4 +225,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 - the driver needs its JSON line
+        print(json.dumps({
+            "metric": "train_samples_per_sec_per_chip",
+            "value": None, "unit": "samples/s/chip", "vs_baseline": None,
+            "error": f"{type(e).__name__}: {str(e)[:300]}",
+        }))
+        raise SystemExit(1)
