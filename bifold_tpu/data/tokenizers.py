@@ -63,7 +63,8 @@ class HashTokenizer:
 
     def __init__(self, vocab_size: int, context_length: int,
                  sot: Optional[int] = None, eot: Optional[int] = None,
-                 pad: int = 0, reserved: int = 3, lowercase: bool = True):
+                 pad: int = 0, reserved: int = 3, lowercase: bool = True,
+                 drop_punctuation: bool = False):
         self.vocab_size = vocab_size
         self.context_length = context_length
         self.sot = sot
@@ -71,12 +72,17 @@ class HashTokenizer:
         self.pad = pad
         self.reserved = reserved
         self.lowercase = lowercase
+        self.drop_punctuation = drop_punctuation
 
     def encode_words(self, text: str) -> list[int]:
         text = _whitespace_clean(_basic_clean(text))
         if self.lowercase:
             text = text.lower()
-        words = re.findall(r"[a-z0-9]+|[^\sa-z0-9]", text)
+        if self.drop_punctuation:
+            # SigLIP's canonicalization strips punctuation before encoding
+            words = re.findall(r"[a-z0-9]+", text)
+        else:
+            words = re.findall(r"[a-z0-9]+|[^\sa-z0-9]", text)
         span = self.vocab_size - self.reserved
         return [self.reserved + _stable_hash(w) % span for w in words]
 
@@ -242,7 +248,8 @@ def build_tokenizer(text_encoder: Optional[str] = None,
         except Exception:
             # offline: siglip lowercases + strips punctuation; eos=1, pad=1
             return HashTokenizer(_SIGLIP_VOCAB_SIZE, SIGLIP_CONTEXT_LENGTH,
-                                 sot=None, eot=1, pad=1)
+                                 sot=None, eot=1, pad=1,
+                                 drop_punctuation=True)
     if text_encoder in CLIP_MODEL_NAMES or text_encoder is None:
         bpe = os.environ.get("BIFOLD_CLIP_BPE")
         if bpe and Path(bpe).exists():

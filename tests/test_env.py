@@ -283,3 +283,32 @@ def test_cloth3d_config_mesh_resolution(tmp_path, monkeypatch):
     e.reset(cfg, cloth3d=True, settle_steps=3)
     assert len(e.sim.get_positions()) == len(np.unique(
         np.round(verts / 1e-6).astype(np.int64), axis=0))
+
+
+def test_tshirt_closed_loop_oracle(tmp_path):
+    """TshirtFold oracle script (both sleeves in, then hem-to-shoulders as
+    two singles) executes on the procedural tshirt and shrinks the
+    silhouette."""
+    from bifold_tpu.env.cache_builder import build_cache
+    import pickle
+
+    path = build_cache("Tshirt", tmp_path, n_configs=1, settle_steps=20)
+    with open(path, "rb") as f:
+        cache = pickle.load(f)
+    e = ClothEnv(render_dim=96, substeps=2, iterations=8)
+    e.reset(cache["configs"][0], state=cache["states"][0], cloth3d=True,
+            lift_height=0.125)
+    kp_idx = cache["keypoints"][0]
+    demo = Demonstrator["TshirtFold"]()
+    seen, _, _ = demo.get_eval_instruction()
+
+    _, depth0 = e.render_image()
+    area0 = get_mask_from_depth(depth0).sum()
+    for pick_i, place_i, gamma in zip(seen["pick"], seen["place"], seen["gammas"]):
+        kp = e.get_keypoints(kp_idx)
+        pick = kp[pick_i]
+        place = pick + gamma * (kp[place_i] - pick)
+        e.pick_and_place_single(pick.copy(), place.copy())
+    _, depth1 = e.render_image()
+    area1 = get_mask_from_depth(depth1).sum()
+    assert area1 < 0.75 * area0, (area0, area1)
