@@ -40,6 +40,11 @@ _NEG = -100000.0  # matches the XLA backend / reference fill value
 
 def _pick_blocks(nq: int, nk: int, block_q: int, block_k: int,
                  vmem_budget: int = 8 * 1024 * 1024):
+    """Power-of-two q blocks (<= block_q) + a single KV pass under a VMEM
+    budget. Measured on v5e: padding-minimizing q blocks (576 -> 640,
+    2373 -> 3x896) LOSE to pow2 blocks despite the extra padded rows — the
+    Mosaic scheduling of 1024-row tiles is that much better (vision shape:
+    1.66 ms vs 2.13 ms; fusion within noise)."""
     block_q = min(block_q, max(128, 1 << (nq - 1).bit_length()))
     nk_pad128 = -(-nk // 128) * 128
     if block_q * nk_pad128 * 4 <= vmem_budget:
