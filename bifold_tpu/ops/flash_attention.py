@@ -121,10 +121,12 @@ def _prepare(q, k, v, key_mask, block_q, block_k):
     qb = _pad_to(to_bh(q), 1, block_q)
     kb = _pad_to(to_bh(k), 1, block_k)
     vb = _pad_to(to_bh(v), 1, block_k)
-    # (B*H, 1, nk_pad): 3-D so the mask block's trailing dims equal the array
+    # (B, 1, nk_pad): 3-D so the mask block's trailing dims equal the array
     # dims (TPU tiling: trailing block dims divide (8, 128) OR equal the
-    # array's — a (1, nk) 2-D block satisfies neither).
-    maskb = jnp.repeat(_pad_to(key_mask, 1, block_k), h, axis=0)[:, None, :]
+    # array's — a (1, nk) 2-D block satisfies neither). The per-head view is
+    # selected by index-map arithmetic (bh -> b = bh // h), avoiding an
+    # h-fold repeat materialization per call.
+    maskb = _pad_to(key_mask, 1, block_k)[:, None, :]
     return qb, kb, vb, maskb
 
 
@@ -145,7 +147,8 @@ def _forward_with_lse(q, k, v, key_mask, scale, block_q, block_k, interpret):
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nk_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nk_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nk_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk_pad), lambda i, j, _h=h: (i // _h, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -251,7 +254,8 @@ def _backward(q, k, v, key_mask, out, lse, g, scale, block_q, block_k,
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nk_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nk_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nk_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk_pad), lambda i, j, _h=h: (i // _h, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
@@ -270,7 +274,8 @@ def _backward(q, k, v, key_mask, out, lse, g, scale, block_q, block_k,
             pl.BlockSpec((1, nq_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k), lambda i, j, _h=h: (i // _h, 0, j),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nq_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, nq_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, nq_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
