@@ -149,8 +149,13 @@ def _core(spec: _CoreSpec, key, rgb, depth, mask, ctx_rgb, ctx_depth, ctx_mask,
             break
     assert batch is not None
 
+    # independent streams per consumer: reusing `key` would correlate the main
+    # and context depth augmentations, and (threefry split being prefix-stable)
+    # the spatial-augment draws with the depth-shift draws (ADVICE r1 low)
+    depth_key, ctx_depth_key, spatial_key = jax.random.split(key, 3)
+
     if depth is not None:
-        out["depth"] = _process_depth(spec, key, depth, mask)
+        out["depth"] = _process_depth(spec, depth_key, depth, mask)
     if mask is not None:
         out["mask"] = depth_ops.round_mask(_resize(mask.astype(jnp.float32), s))[:, None]
     if rgb is not None:
@@ -164,7 +169,7 @@ def _core(spec: _CoreSpec, key, rgb, depth, mask, ctx_rgb, ctx_depth, ctx_mask,
         in_frame = jnp.arange(t)[None, :] < ctx_count[:, None]  # (B, T)
         out["context_attention_mask"] = in_frame.astype(jnp.int32)
         cd = _process_depth(
-            spec, key,
+            spec, ctx_depth_key,
             ctx_depth.reshape(batch * t, *ctx_depth.shape[2:]),
             ctx_mask.reshape(batch * t, *ctx_mask.shape[2:]) if ctx_mask is not None else None,
         ).reshape(batch, t, 1, s, s)
@@ -198,7 +203,7 @@ def _core(spec: _CoreSpec, key, rgb, depth, mask, ctx_rgb, ctx_depth, ctx_mask,
             warp_keys.append("mask")
         images = {k: out[k] for k in warp_keys}
 
-        aug_keys = jax.random.split(key, batch + 1)[1:]
+        aug_keys = jax.random.split(spatial_key, batch)
         aug = partial(
             spatial_augment, image_size=s, max_trials=spec.max_trials,
             rotate_range=spec.rotate_range, translate_range=spec.translate_range)

@@ -278,10 +278,15 @@ def run_softgym_eval(trainer) -> tuple:
             evaluator.evaluate(dataloader=trainer.test_dataloader,
                                num_evals=int(cfg.get("num_evals", 50)))
         except (FileNotFoundError, KeyError, TypeError) as e:
+            # LOUD fallback: prefix every returned metric so a mis-pathed
+            # cache can never masquerade as a sim eval (VERDICT r1 weak#5)
             print(f"[softgym] bimanual replay cache unavailable ({e}); "
-                  f"falling back to pixel metrics")
+                  f"falling back to pixel metrics (keys prefixed "
+                  f"'pixel_fallback/')")
             evaluator.close()
-            return trainer.eval_epoch_pixel()
+            has_improved, metrics = trainer.eval_epoch_pixel()
+            return has_improved, {f"pixel_fallback/{k}": v
+                                   for k, v in metrics.items()}
     else:
         evaluator = SoftgymSingleEvaluator(
             cache_dir=cfg["softgym_cache"], policy=policy,

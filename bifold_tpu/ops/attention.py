@@ -64,13 +64,25 @@ def dot_product_attention(
 
     import os
     env_backend = os.environ.get("BIFOLD_ATTN_BACKEND")
+
+    # features the flash kernel does not implement; a forced backend must not
+    # silently produce wrong attention for these calls (ADVICE r1 medium)
+    unsupported = (causal or return_weights or legacy_query_mask is not None
+                   or q.shape[1] != k.shape[1])
     if env_backend:
-        backend = env_backend
+        # global env override: honor it only for calls the kernel supports
+        # (the CLIP text tower is causal — it keeps the XLA path)
+        backend = "xla" if (env_backend == "flash" and unsupported) else env_backend
 
     use_flash = False
     if backend == "flash":
+        if unsupported:
+            raise NotImplementedError(
+                "backend='flash' does not support causal / return_weights / "
+                "legacy_query_mask / cross-length attention; use backend="
+                "'xla' or 'auto' for these calls")
         use_flash = True
-    elif backend == "auto" and not return_weights and legacy_query_mask is None and not causal:
+    elif backend == "auto" and not unsupported:
         on_tpu = jax.default_backend() in ("tpu", "axon")
         # flash pays off once N is past a few hundred tokens
         use_flash = on_tpu and q.shape[1] >= 256 and q.shape[1] == k.shape[1]

@@ -142,7 +142,8 @@ class Trainer:
         self._train_step = parallel.make_train_step(
             self.model, self.loss_fn, self.tx,
             has_batch_stats=self.has_batch_stats,
-            donate=bool(self.cfg.get("donate_state", True)))
+            donate=bool(self.cfg.get("donate_state", True)),
+            trainable=mask)
         self.load_model(prefer="last")
 
     # ------------------------------------------------------------------
@@ -153,6 +154,23 @@ class Trainer:
     def ckpt_dir(self) -> Path:
         return self.run_dir / "checkpoints"
 
+    def _host_rng_generators(self) -> Dict[str, Any]:
+        """Named np.random.Generator instances whose streams must survive a
+        resume (loader shuffle order, processor augmentation draws)."""
+        gens, seen = {}, set()
+        for name, obj in (("train_loader", self.train_dataloader),
+                          ("test_loader", self.test_dataloader),
+                          ("processor", self.processor),
+                          ("train_processor",
+                           getattr(self.train_dataloader, "processor", None)),
+                          ("test_processor",
+                           getattr(self.test_dataloader, "processor", None))):
+            gen = getattr(obj, "_rng", None)
+            if gen is not None and id(gen) not in seen:
+                seen.add(id(gen))
+                gens[name] = gen
+        return gens
+
     def save_model(self, name: str) -> None:
         save_checkpoint(
             self.ckpt_dir / f"{name}.ckpt",
@@ -160,6 +178,8 @@ class Trainer:
             extra_vars=self.extra_vars, epoch=self.epoch,
             step=self.global_step, best_eval=self.metrics.best_eval,
             jax_key=self.key,
+            host_rng_states={k: g.bit_generator.state
+                             for k, g in self._host_rng_generators().items()},
             metadata={"model": dict(self.cfg["model"]),
                       "tracked_metric": self.metrics.tracked_metric})
 
@@ -185,6 +205,10 @@ class Trainer:
         self.metrics.best_eval = payload.get("best_eval")
         if payload.get("jax_key") is not None:
             self.key = payload["jax_key"]
+        saved_states = payload.get("host_rng_states") or {}
+        for k, gen in self._host_rng_generators().items():
+            if k in saved_states:
+                gen.bit_generator.state = saved_states[k]
         print(f"[trainer] resumed from {path} (epoch {self.epoch})")
         return True
 
@@ -210,10 +234,15 @@ class Trainer:
                     self.save_model("last")
         except (KeyboardInterrupt, Exception):
             # crash-resume is the recovery path (reference auto-resumes from
-            # last.pth, __main__.py:272-302): persist progress before dying
-            self.save_model("last")
-            print(f"[trainer] interrupted at epoch {self.epoch}; "
-                  f"saved checkpoints/last.ckpt for resume")
+            # last.pth, __main__.py:272-302): persist progress before dying.
+            # A failed save (e.g. the interrupt landed inside the donated step
+            # dispatch) must not mask the original exception.
+            try:
+                self.save_model("last")
+                print(f"[trainer] interrupted at epoch {self.epoch}; "
+                      f"saved checkpoints/last.ckpt for resume")
+            except Exception as save_err:  # noqa: BLE001
+                print(f"[trainer] interrupt checkpoint failed: {save_err!r}")
             raise
         self.epoch = int(cfg["epochs"])
         self.save_model("last")
@@ -241,6 +270,10 @@ class Trainer:
                 self._visualize_model_inputs(batch)
             t0 = time.time()
             state, step_metrics = self._train_step(state, device_batch)
+            # The donated step invalidates the previous state's buffers; keep
+            # live handles every step so the interrupt path (train()'s except
+            # -> save_model) never reads deleted arrays mid-epoch.
+            self.params, self.opt_state, self.extra_vars, _ = state
             loss = float(step_metrics["loss"])
             running += loss
             n_steps += 1

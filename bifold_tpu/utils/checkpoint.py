@@ -31,8 +31,14 @@ def save_checkpoint(path: str | Path, *, params: Any, opt_state: Any = None,
                     extra_vars: Any = None, epoch: int = 0,
                     best_eval: Optional[float] = None,
                     jax_key: Optional[jax.Array] = None,
-                    step: int = 0, metadata: Optional[Dict] = None) -> Path:
-    """Write an atomic checkpoint (tmp + rename)."""
+                    step: int = 0, metadata: Optional[Dict] = None,
+                    host_rng_states: Optional[Dict[str, Any]] = None) -> Path:
+    """Write an atomic checkpoint (tmp + rename).
+
+    ``host_rng_states`` carries named ``np.random.Generator`` states (loader
+    shuffle, processor augmentation) so data order and augmentation streams
+    resume bitwise too, not just the global RNGs.
+    """
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     payload = {
@@ -44,6 +50,7 @@ def save_checkpoint(path: str | Path, *, params: Any, opt_state: Any = None,
         "best_eval": best_eval,
         "np_rng_state": np.random.get_state(),
         "py_rng_state": random.getstate(),
+        "host_rng_states": host_rng_states or {},
         "jax_key": None if jax_key is None else np.asarray(jax.random.key_data(jax_key)),
         "metadata": metadata or {},
     }

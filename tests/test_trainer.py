@@ -55,6 +55,16 @@ def test_checkpoint_resume_bitwise_params(trained):
     for a, b in zip(jax.tree_util.tree_leaves(trainer.params),
                     jax.tree_util.tree_leaves(t2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # host generator streams (shuffle order, augmentation) resume bitwise to
+    # the states captured at save time (the live trainer's processor stream
+    # has advanced since — eval batches draw from it)
+    import pickle
+    with open(trainer.ckpt_dir / "last.ckpt", "rb") as f:
+        saved = pickle.load(f)["host_rng_states"]
+    assert saved, "checkpoint must carry host generator states"
+    assert (t2.train_dataloader._rng.bit_generator.state
+            == saved["train_loader"])
+    assert t2.processor._rng.bit_generator.state == saved["processor"]
 
 
 def test_eval_yaml_written_and_merged(trained):
@@ -134,6 +144,42 @@ def test_serving_model_from_checkpoint(trained):
     assert a1.pick.shape == (1, 2)
     assert raw["pick_heatmap"].shape == (1, 64, 64)
     assert (a2.pick >= 0).all() and (a2.pick < 64).all()
+
+
+def test_midepoch_crash_saves_resumable_checkpoint(tmp_path):
+    """A crash mid-epoch (donated step!) must still write last.ckpt with the
+    post-step state: the donated buffers of the *previous* state are dead, so
+    the trainer has to keep live handles every step (ADVICE r1 high)."""
+    import jax
+
+    cfg = tiny_cfg(tmp_path, extra=("donate_state=true", "epochs=1"))
+    trainer = Trainer(Config(cfg), run_dir=tmp_path / "run")
+    trainer.prepare_train()
+
+    class CrashAfter:
+        def __init__(self, dl, n):
+            self.dl, self.n = dl, n
+
+        def __len__(self):
+            return len(self.dl)
+
+        def __iter__(self):
+            for i, batch in enumerate(self.dl):
+                if i == self.n:
+                    raise RuntimeError("injected mid-epoch crash")
+                yield batch
+
+    trainer.train_dataloader = CrashAfter(trainer.train_dataloader, 1)
+    with pytest.raises(RuntimeError, match="injected"):
+        trainer.train()
+    ckpt = trainer.ckpt_dir / "last.ckpt"
+    assert ckpt.exists(), "interrupt path must persist progress"
+    # the checkpoint holds the post-step-1 state, bitwise
+    from bifold_tpu.utils.checkpoint import load_checkpoint
+    payload = load_checkpoint(ckpt)
+    for a, b in zip(jax.tree_util.tree_leaves(payload["params"]),
+                    jax.tree_util.tree_leaves(trainer.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_text_unet_trainer_batch_stats(tmp_path):
