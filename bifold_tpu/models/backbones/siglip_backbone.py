@@ -49,6 +49,9 @@ class SiglipConfig:
 SIGLIP_BASE_CONFIGS = {
     "google/siglip-base-patch16-224": SiglipConfig(image_size=224),
     "google/siglip-base-patch16-384": SiglipConfig(image_size=384),
+    # test/smoke config: genuinely small towers (unknown names previously fell
+    # back to the 12-layer base, making "tiny" runs 12-deep at small width)
+    "tiny": SiglipConfig(layers=2, heads=4, mlp_dim=256),
 }
 
 

@@ -26,7 +26,8 @@ from typing import Any, Dict
 
 import numpy as np
 
-__all__ = ["convert_siglip", "convert_clip", "load_state_dict", "graft"]
+__all__ = ["convert_siglip", "convert_clip", "convert_bifold",
+           "load_state_dict", "graft"]
 
 
 def _np(t) -> np.ndarray:
@@ -71,8 +72,15 @@ def _stack_blocks(blocks: list, scan_layers: bool) -> Dict:
 
 def convert_siglip(sd: Dict, *, layers: int = 12, lora: bool = False,
                    lora_rank: int = 8, scan_layers: bool = True,
-                   lora_targets=("q_proj", "v_proj")) -> Dict:
-    """HF SiglipModel state dict -> the ``siglip_model`` params subtree."""
+                   lora_targets=("q_proj", "v_proj"),
+                   lora_values=None) -> Dict:
+    """HF SiglipModel state dict -> the ``siglip_model`` params subtree.
+
+    ``lora_values``: optional ``(A, B)`` dicts keyed by the projection path
+    (e.g. ``vision_model.encoder.layers.0.self_attn.q_proj``) holding trained
+    peft ``lora_A``/``lora_B`` weights — used when converting a fine-tuned
+    reference checkpoint rather than a raw pretrained tower.
+    """
     sd = {k.removeprefix("model."): v for k, v in sd.items()}
     out: Dict[str, Any] = {"vision_model": {}, "text_model": {}}
 
@@ -103,6 +111,10 @@ def convert_siglip(sd: Dict, *, layers: int = 12, lora: bool = False,
                 if proj in ("q_proj", "k_proj", "v_proj") and proj in lora_targets:
                     d_in, d_out = dense["kernel"].shape
                     dense = _wrap_lora(dense, lora, lora_rank, d_in, d_out)
+                    key = f"{p}.self_attn.{proj}"
+                    if lora and lora_values and key in lora_values[0]:
+                        dense["lora_a"] = _np(lora_values[0][key]).T  # (in, r)
+                        dense["lora_b"] = _np(lora_values[1][key]).T  # (r, out)
                 attn[proj] = dense
             blocks.append({
                 "norm1": _ln(sd, f"{p}.layer_norm1"),
@@ -207,6 +219,105 @@ def convert_clip(sd: Dict, *, vision_layers: int = 12,
     if any(k.startswith("visual.conv1") for k in sd):
         return _convert_clip_openai(sd, vision_layers, text_layers, scan_layers)
     return _convert_clip_hf(sd, vision_layers, text_layers, scan_layers)
+
+
+def _max_index(keys, pattern: str) -> int:
+    """Highest ``N`` in keys matching ``...{pattern}N...`` + 1 (0 if none)."""
+    import re
+
+    rx = re.compile(pattern + r"(\d+)")
+    hits = [int(m.group(1)) for k in keys for m in [rx.search(k)] if m]
+    return max(hits) + 1 if hits else 0
+
+
+def convert_bifold(sd: Dict, *, scan_layers: bool = True) -> Dict:
+    """Full reference-model state dict -> our full params tree.
+
+    Handles the complete SigLip / SiglipSequential graph of
+    /root/reference/bifold/models/siglip.py: the (optionally peft-LoRA-
+    wrapped) SigLIP towers, learned text/image modality tokens, context
+    position embeddings, the ConcatTransformer fusion
+    (fusion.py:8-64 / transformer.py) and the per-head ConvDecoders
+    (modules.py:33-74, pickplace.py:10-124). Layer counts, LoRA presence and
+    rank, bimanual-ness and mask head are all inferred from the keys, so the
+    same call ingests the reference's published fine-tuned ``.pth``
+    checkpoints as well as freshly-initialized models.
+    """
+    sd = {k: v for k, v in sd.items()}
+    out: Dict[str, Any] = {}
+
+    # ---- SigLIP towers (strip the peft LoraModel wrapper if present) ----
+    tower_sd, lora_a, lora_b = {}, {}, {}
+    for k, v in sd.items():
+        if not k.startswith("siglip_model."):
+            continue
+        k = k.removeprefix("siglip_model.").removeprefix("model.")
+        if ".lora_A." in k:            # ...q_proj.lora_A.<adapter>.weight
+            lora_a[k.split(".lora_A.")[0]] = v
+        elif ".lora_B." in k:
+            lora_b[k.split(".lora_B.")[0]] = v
+        else:
+            tower_sd[k.replace(".base_layer.", ".")] = v
+    if tower_sd:
+        layers = _max_index(tower_sd, r"vision_model\.encoder\.layers\.")
+        lora = bool(lora_a)
+        rank = _np(next(iter(lora_a.values()))).shape[0] if lora else 8
+        out["siglip_model"] = convert_siglip(
+            tower_sd, layers=layers, lora=lora, lora_rank=rank,
+            scan_layers=scan_layers, lora_values=(lora_a, lora_b))
+
+    # ---- modality tokens + context position embedding ----
+    for name in ("text_token", "image_token", "context_pos_embedding"):
+        if name in sd:
+            out[name] = _np(sd[name])
+
+    # ---- fusion: token-type embeddings + pre-norm transformer ----
+    pp: Dict[str, Any] = {}
+    if "pick_place.fusion.token_type_embeddings.weight" in sd:
+        fusion: Dict[str, Any] = {
+            "token_type_embeddings": {
+                "embedding": _np(sd["pick_place.fusion.token_type_embeddings.weight"])}
+        }
+        depth = _max_index(sd, r"pick_place\.fusion\.transformer_encoder\.layers\.")
+        blocks = []
+        for i in range(depth):
+            p = f"pick_place.fusion.transformer_encoder.layers.{i}"
+            # reference layer = [PreNorm(Attention), PreNorm(FeedForward)]
+            # (transformer.py:45-58); to_out is Sequential(Linear, Dropout)
+            blocks.append({
+                "norm1": _ln(sd, f"{p}.0.norm"),
+                "attn": {
+                    "to_qkv": {"kernel": _np(sd[f"{p}.0.fn.to_qkv.weight"]).T},
+                    "out_proj": _linear(sd, f"{p}.0.fn.to_out.0"),
+                },
+                "norm2": _ln(sd, f"{p}.1.norm"),
+                "mlp": {"fc1": _linear(sd, f"{p}.1.fn.net.0"),
+                        "fc2": _linear(sd, f"{p}.1.fn.net.3")},
+            })
+        fusion["transformer_encoder"] = _stack_blocks(blocks, scan_layers)
+        if "pick_place.fusion.registers" in sd:
+            fusion["registers"] = _np(sd["pick_place.fusion.registers"])
+        pp["fusion"] = fusion
+
+    # ---- ConvDecoder heads: 1x1 convs at Sequential slots 0,2,4,6,8 ----
+    heads = ("pick_decoder", "place_decoder", "left_pick_decoder",
+             "right_pick_decoder", "left_place_decoder", "right_place_decoder",
+             "mask_head")
+    for head in heads:
+        k0 = f"pick_place.{head}.decoder_net.0.weight"
+        if k0 not in sd:
+            continue
+        dec = {}
+        for j, slot in enumerate((0, 2, 4, 6, 8)):
+            w = _np(sd[f"pick_place.{head}.decoder_net.{slot}.weight"])
+            dec[f"conv{j}"] = {
+                "kernel": w[:, :, 0, 0].T,  # (out,in,1,1) -> (in,out)
+                "bias": _np(sd[f"pick_place.{head}.decoder_net.{slot}.bias"]),
+            }
+        pp[head] = dec
+    if pp:
+        out["pick_place"] = pp
+    return out
 
 
 def load_state_dict(path: str | Path) -> Dict:

@@ -76,6 +76,7 @@ class ConcatTransformer(nn.Module):
             dim=self.dim, depth=self.depth, heads=self.heads,
             dim_head=self.dim // self.heads, mlp_dim=self.dim * self.mlp_ratio,
             fused_qkv=True, dropout=self.dropout, remat=self.remat,
+            ln_eps=1e-5,  # torch nn.LayerNorm default (reference modules.py:11)
             dtype=self.dtype, name="transformer_encoder",
         )(x, key_mask, legacy_query_mask=legacy, deterministic=deterministic)
 
