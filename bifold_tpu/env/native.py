@@ -48,6 +48,7 @@ class NativeSim:
             f32p, f32p, ctypes.c_int64,               # sphere pos(S,14), radii(S), S
             ctypes.c_float, ctypes.c_float, ctypes.c_float,  # dt, damping, friction
             ctypes.c_int, ctypes.c_int, ctypes.c_float,      # substeps, iters, radius
+            f32p, ctypes.c_float,                     # rest_positions(N,3), self_coll_dist
         ]
         lib.bifold_render.restype = ctypes.c_int
         lib.bifold_render.argtypes = [
@@ -72,6 +73,9 @@ class NativeSim:
         stiff = np.ascontiguousarray(sim.stretch_stiffness, np.float32)
         sph = np.ascontiguousarray(sim.shape_states, np.float32)
         radii = np.ascontiguousarray(sim.shape_radii, np.float32)
+        rest_pos = np.ascontiguousarray(sim.rest_positions, np.float32)
+        use_self = (getattr(sim, "self_collision", False)
+                    and len(rest_pos) == len(pos))
         ok = self.lib.bifold_step(
             self._ptr(pos, ctypes.c_float), self._ptr(vel, ctypes.c_float),
             len(pos),
@@ -80,7 +84,9 @@ class NativeSim:
             self._ptr(sph, ctypes.c_float), self._ptr(radii, ctypes.c_float),
             len(radii),
             sim.dt, sim.damping, sim.ground_friction,
-            sim.substeps, sim.iterations, sim.particle_radius)
+            sim.substeps, sim.iterations, sim.particle_radius,
+            self._ptr(rest_pos, ctypes.c_float),
+            sim.self_collision_dist if use_self else 0.0)
         if ok != 0:
             return False
         sim.positions = pos

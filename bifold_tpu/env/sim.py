@@ -117,6 +117,7 @@ class ClothSim:
                  substeps: int = 4, iterations: int = 12,
                  dt: float = 1.0 / 100.0, damping: float = 0.995,
                  ground_friction: float = 0.3,
+                 self_collision: bool = True,
                  native: Optional[bool] = None):
         self.particle_radius = particle_radius
         self.substeps = substeps
@@ -124,6 +125,12 @@ class ClothSim:
         self.dt = dt
         self.damping = damping
         self.ground_friction = ground_friction
+        # FleX self-collides cloth particles by construction
+        # (softgym_cloth3d.h:360 eNvFlexPhaseSelfCollide|SelfCollideFilter,
+        # :380 radius): particles separate to the collision distance unless
+        # their REST distance is already below it (mesh neighbors)
+        self.self_collision = self_collision
+        self.self_collision_dist = 2.0 * particle_radius
         self.camera_params: Dict = {k: (v.copy() if isinstance(v, np.ndarray) else v)
                                     for k, v in DEFAULT_CAMERA.items()}
         self._native = load_native() if native in (None, True) else None
@@ -137,6 +144,7 @@ class ClothSim:
     # ------------------------------------------------------------------
 
     def _clear(self):
+        self.rest_positions = np.zeros((0, 3), np.float32)
         self.positions = np.zeros((0, 4), np.float32)
         self.velocities = np.zeros((0, 3), np.float32)
         self.faces = np.zeros((0, 3), np.int64)
@@ -157,6 +165,9 @@ class ClothSim:
         if dedup:
             vertices, faces, _ = _dedup_vertices(vertices, faces)
         n = len(vertices)
+        # rest geometry drives the self-collision filter: pairs already closer
+        # than the collision distance at rest (mesh neighbors) never repel
+        self.rest_positions = vertices.copy()
         inv_mass = np.full((n,), n / max(mass, 1e-9), np.float32)
         self.positions = np.concatenate(
             [vertices, inv_mass[:, None]], axis=1).astype(np.float32)
@@ -246,11 +257,32 @@ class ClothSim:
         sph_pos = self.shape_states[:, :3].astype(np.float64)
         sph_r = self.shape_radii.astype(np.float64) if len(self.shape_radii) else None
 
+        d0 = float(self.self_collision_dist)
+        use_self = self.self_collision and len(self.rest_positions) == n
+        rest_pos = self.rest_positions.astype(np.float64) if use_self else None
+        ci = cj = cw0 = cw1 = cws = None
+
         for _ in range(self.substeps):
             vel[free, 1] -= 9.8 * h
             vel *= self.damping
             prev = pos.copy()
             pos = pos + vel * h
+
+            if use_self:
+                # neighbor pairs once per substep (FleX builds its neighbor
+                # grid once per step); 1.5x margin catches pairs that close
+                # in during the iteration loop
+                from scipy.spatial import cKDTree
+                pairs = cKDTree(pos).query_pairs(1.5 * d0, output_type="ndarray")
+                if len(pairs):
+                    rd = np.linalg.norm(rest_pos[pairs[:, 0]]
+                                        - rest_pos[pairs[:, 1]], axis=1)
+                    pairs = pairs[rd >= d0 * 0.999]
+                ci, cj = (pairs[:, 0], pairs[:, 1]) if len(pairs) else (None, None)
+                if ci is not None:
+                    cw0 = inv_m[ci]
+                    cw1 = inv_m[cj]
+                    cws = np.maximum(cw0 + cw1, 1e-12)
 
             for _ in range(self.iterations):
                 d = pos[i0] - pos[i1]
@@ -263,6 +295,23 @@ class ClothSim:
                 np.add.at(delta, i0, -dp * w0[:, None])
                 np.add.at(delta, i1, dp * w1[:, None])
                 pos += 1.5 * delta / valence[:, None]
+
+                # particle-particle self-collision: separate penetrating
+                # pairs to d0, Jacobi-averaged by per-particle contact count
+                if ci is not None:
+                    d = pos[ci] - pos[cj]
+                    dist = np.sqrt((d * d).sum(axis=1)) + 1e-12
+                    pen = dist < d0
+                    if pen.any():
+                        corr = np.where(pen, (dist - d0) / dist / cws, 0.0)
+                        dp = d * corr[:, None]
+                        cdelta = np.zeros_like(pos)
+                        np.add.at(cdelta, ci, -dp * cw0[:, None])
+                        np.add.at(cdelta, cj, dp * cw1[:, None])
+                        ccount = np.zeros(n, np.float64)
+                        np.add.at(ccount, ci, pen.astype(np.float64))
+                        np.add.at(ccount, cj, pen.astype(np.float64))
+                        pos += cdelta / np.maximum(ccount, 1.0)[:, None]
 
                 # ground plane y >= 0 (particle radius offset)
                 floor = self.particle_radius * 0.5

@@ -14,12 +14,67 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <unordered_map>
 #include <vector>
 
 namespace {
 
 inline float len3(const float* a) {
   return std::sqrt(a[0] * a[0] + a[1] * a[1] + a[2] * a[2]);
+}
+
+// Self-collision candidate pairs via a uniform spatial hash: all (i < j) with
+// |pos_i - pos_j| <= q, excluding pairs whose REST distance is < d0 (FleX
+// eNvFlexPhaseSelfCollideFilter semantics — mesh neighbors never repel).
+void collision_pairs(const std::vector<double>& pos, int64_t n,
+                     const float* rest_positions, double d0, double q,
+                     std::vector<std::pair<int32_t, int32_t>>* out) {
+  out->clear();
+  const double inv_cell = 1.0 / q;
+  auto key_of = [&](int64_t i) -> int64_t {
+    const int64_t cx = static_cast<int64_t>(std::floor(pos[3 * i] * inv_cell));
+    const int64_t cy =
+        static_cast<int64_t>(std::floor(pos[3 * i + 1] * inv_cell));
+    const int64_t cz =
+        static_cast<int64_t>(std::floor(pos[3 * i + 2] * inv_cell));
+    // pack 21 bits per axis (cells are tiny world coords; never overflows)
+    return ((cx & 0x1FFFFF) << 42) | ((cy & 0x1FFFFF) << 21) | (cz & 0x1FFFFF);
+  };
+  std::unordered_map<int64_t, std::vector<int32_t>> grid;
+  grid.reserve(static_cast<size_t>(n));
+  for (int64_t i = 0; i < n; ++i) grid[key_of(i)].push_back(static_cast<int32_t>(i));
+
+  const double q2 = q * q, d0f = d0 * 0.999;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t cx = static_cast<int64_t>(std::floor(pos[3 * i] * inv_cell));
+    const int64_t cy =
+        static_cast<int64_t>(std::floor(pos[3 * i + 1] * inv_cell));
+    const int64_t cz =
+        static_cast<int64_t>(std::floor(pos[3 * i + 2] * inv_cell));
+    for (int64_t ox = -1; ox <= 1; ++ox)
+      for (int64_t oy = -1; oy <= 1; ++oy)
+        for (int64_t oz = -1; oz <= 1; ++oz) {
+          const int64_t key = (((cx + ox) & 0x1FFFFF) << 42) |
+                              (((cy + oy) & 0x1FFFFF) << 21) |
+                              ((cz + oz) & 0x1FFFFF);
+          auto it = grid.find(key);
+          if (it == grid.end()) continue;
+          for (int32_t j : it->second) {
+            if (j <= i) continue;
+            const double dx = pos[3 * i] - pos[3 * j];
+            const double dy = pos[3 * i + 1] - pos[3 * j + 1];
+            const double dz = pos[3 * i + 2] - pos[3 * j + 2];
+            if (dx * dx + dy * dy + dz * dz > q2) continue;
+            const double rx = rest_positions[3 * i] - rest_positions[3 * j];
+            const double ry =
+                rest_positions[3 * i + 1] - rest_positions[3 * j + 1];
+            const double rz =
+                rest_positions[3 * i + 2] - rest_positions[3 * j + 2];
+            if (std::sqrt(rx * rx + ry * ry + rz * rz) < d0f) continue;
+            out->emplace_back(static_cast<int32_t>(i), j);
+          }
+        }
+  }
 }
 
 }  // namespace
@@ -29,15 +84,28 @@ extern "C" {
 // One frame: substeps x (integrate; iterations x (constraints, collisions)).
 // positions: (N, 4) xyz + inv_mass, updated in place. velocities: (N, 3).
 // Returns 0 on success.
+// self_coll_dist > 0 enables particle self-collision at that separation
+// (rest_positions (N, 3) feeds the rest-distance filter; may be null when
+// self_coll_dist == 0).
 int bifold_step(float* positions, float* velocities, int64_t n,
                 const int64_t* edges, const float* rest, const float* stiff,
                 int64_t n_edges, const float* shape_states,
                 const float* shape_radii, int64_t n_shapes, float dt,
                 float damping, float friction, int substeps, int iterations,
-                float particle_radius) {
+                float particle_radius, const float* rest_positions,
+                float self_coll_dist) {
   if (n == 0) return 0;
   const float h = dt / static_cast<float>(substeps);
   const float floor_y = particle_radius * 0.5f;
+  const bool use_self = self_coll_dist > 0.f && rest_positions != nullptr;
+  const double d0 = self_coll_dist;
+  std::vector<std::pair<int32_t, int32_t>> pairs;
+  std::vector<double> cdelta;
+  std::vector<double> ccount;
+  if (use_self) {
+    cdelta.resize(3 * n);
+    ccount.resize(n);
+  }
 
   std::vector<double> pos(3 * n), vel(3 * n), prev(3 * n), delta(3 * n);
   std::vector<double> inv_m(n);
@@ -72,6 +140,9 @@ int bifold_step(float* positions, float* velocities, int64_t n,
       pos[3 * i + 2] += vel[3 * i + 2] * h;
     }
 
+    // neighbor pairs once per substep, 1.5x margin (matches numpy backend)
+    if (use_self) collision_pairs(pos, n, rest_positions, d0, 1.5 * d0, &pairs);
+
     for (int it = 0; it < iterations; ++it) {
       std::fill(delta.begin(), delta.end(), 0.0);
       for (int64_t e = 0; e < n_edges; ++e) {
@@ -93,6 +164,39 @@ int bifold_step(float* positions, float* velocities, int64_t n,
       for (int64_t i = 0; i < n; ++i)
         for (int k = 0; k < 3; ++k)
           pos[3 * i + k] += 1.5 * delta[3 * i + k] / valence[i];
+
+      // self-collision: separate penetrating pairs to d0, Jacobi-averaged
+      // by per-particle contact count (same math as the numpy backend)
+      if (use_self && !pairs.empty()) {
+        std::fill(cdelta.begin(), cdelta.end(), 0.0);
+        std::fill(ccount.begin(), ccount.end(), 0.0);
+        bool any = false;
+        for (const auto& pr : pairs) {
+          const int32_t a = pr.first, b = pr.second;
+          const double wa = inv_m[a], wb = inv_m[b];
+          const double ws = wa + wb > 1e-12 ? wa + wb : 1e-12;
+          double d[3] = {pos[3 * a] - pos[3 * b], pos[3 * a + 1] - pos[3 * b + 1],
+                         pos[3 * a + 2] - pos[3 * b + 2]};
+          const double dist =
+              std::sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2]) + 1e-12;
+          if (dist >= d0) continue;
+          any = true;
+          const double corr = (dist - d0) / dist / ws;
+          for (int k = 0; k < 3; ++k) {
+            const double dp = d[k] * corr;
+            cdelta[3 * a + k] -= dp * wa;
+            cdelta[3 * b + k] += dp * wb;
+          }
+          ccount[a] += 1.0;
+          ccount[b] += 1.0;
+        }
+        if (any) {
+          for (int64_t i = 0; i < n; ++i) {
+            const double cnt = ccount[i] > 1.0 ? ccount[i] : 1.0;
+            for (int k = 0; k < 3; ++k) pos[3 * i + k] += cdelta[3 * i + k] / cnt;
+          }
+        }
+      }
 
       // ground plane + friction
       for (int64_t i = 0; i < n; ++i) {
