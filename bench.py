@@ -108,41 +108,48 @@ def bench_train(batch: int, steps: int = 10, warmup: int = 2):
     return batch / dt, dt, loss
 
 
-def bench_latency(image_size: int = 384, context: int = 3, iters: int = 30):
-    """Batch-1 img+text -> pixel action, p50 over iters (pre-compiled fixed
-    shapes, the serving path BASELINE.md targets at <20 ms)."""
+def bench_latency(image_size: int = 384, iters: int = 30):
+    """Batch-1 raw-pixels+text -> Action, p50 over iters, through the REAL
+    serving path (ServingModel.predict: preprocessing + forward + decode as
+    exactly one device dispatch — the BASELINE.md <20 ms target)."""
     import jax
     import jax.numpy as jnp
 
-    from bifold_tpu.models import build_model, decode_action
+    from bifold_tpu.data.processor import Processor
+    from bifold_tpu.models import build_model
+    from bifold_tpu.serving import ServingModel
 
     model = build_model({
         "name": "siglip", "image_size": image_size, "is_bimanual": True,
         "patch_size": 16, "automodel_name": "siglip-base", "dim": 768,
         "lora": False, "depth": 8, "heads": 16,
     }, dtype=jnp.bfloat16)
+    proc = Processor(
+        {"model_image_size": image_size, "text_encoder": None, "sigma": 5,
+         "requires_graph": False, "spatial_augment": False, "strategy": "gmm",
+         "mask_depth": True, "standardize_depth": False},
+        partition="test", autoprocessor_name="siglip")
+
     rng = np.random.default_rng(0)
     s = image_size
-    sample = {
-        "rgb": jnp.asarray(rng.standard_normal((1, 3, s, s)), jnp.bfloat16),
+    init_sample = {
+        "rgb": jnp.asarray(rng.standard_normal((1, 3, s, s)), jnp.float32),
         "instruction": jnp.asarray(rng.integers(0, 30000, (1, 64)), jnp.int32),
         "mask": jnp.asarray((rng.random((1, 1, s, s)) > 0.5), jnp.float32),
     }
     variables = jax.jit(
-        lambda k: model.init(k, sample, deterministic=True))(jax.random.key(0))
+        lambda k: model.init(k, init_sample, deterministic=True))(jax.random.key(0))
+    server = ServingModel(model, variables, proc, threshold=0.01)
 
-    @jax.jit
-    def serve(variables, sample):
-        out = model.apply(variables, sample, deterministic=True)
-        return decode_action(out, sample, is_bimanual=True, threshold=0.01)
-
-    res = serve(variables, sample)
-    jax.block_until_ready(res)
+    rgb = rng.integers(0, 255, (s, s, 3), dtype=np.uint8)
+    depth = rng.random((s, s)).astype(np.float32)
+    mask = (rng.random((s, s)) > 0.5).astype(np.float32)
+    instruction = "fold the towel from left to right"
+    server.predict(rgb=rgb, depth=depth, mask=mask, instruction=instruction)
     times = []
     for _ in range(iters):
         t0 = time.time()
-        res = serve(variables, sample)
-        jax.block_until_ready(res)
+        server.predict(rgb=rgb, depth=depth, mask=mask, instruction=instruction)
         times.append(time.time() - t0)
     return float(np.median(times) * 1e3)
 

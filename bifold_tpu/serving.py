@@ -47,6 +47,40 @@ class ServingModel:
             return decoded, out
 
         self._serve = jax.jit(_serve)
+        # one-dispatch programs (preprocess + forward + decode fused), keyed
+        # by which raw inputs are present; jit handles shape re-traces
+        self._e2e_programs: Dict[Any, Any] = {}
+
+    def _e2e_program(self, spec):
+        """Jitted raw-pixels->Action program: the processor ``_core``, the
+        model forward, and the decode run as ONE device dispatch — over a
+        tunneled TPU every extra dispatch costs a full RTT (~30 ms), so the
+        control-loop latency path must issue exactly one."""
+        key = (spec.has_rgb, spec.has_depth, spec.has_mask, spec.n_context,
+               spec.context_rgb)
+        if key in self._e2e_programs:
+            return self._e2e_programs[key]
+
+        from bifold_tpu.data.processor import _core
+
+        model, threshold = self.model, self.threshold
+
+        def serve(variables, rgb, depth, mask, ctx_rgb, ctx_depth, ctx_mask,
+                  ctx_count, instruction):
+            # test-partition spec: no stochastic augmentation; key is unused
+            sample = _core(spec, jax.random.key(0), rgb, depth, mask,
+                           ctx_rgb, ctx_depth, ctx_mask, ctx_count, {})
+            sample["instruction"] = instruction
+            out = model.apply(variables, sample, deterministic=True)
+            decoded = decode_action(
+                out, sample, is_bimanual=model.is_bimanual,
+                constrain_pick_mask=getattr(model, "constrain_pick_mask", True),
+                threshold=threshold)
+            return decoded, out
+
+        prog = jax.jit(serve)
+        self._e2e_programs[key] = prog
+        return prog
 
     # ------------------------------------------------------------------
 
@@ -71,8 +105,43 @@ class ServingModel:
     def predict(self, rgb=None, depth=None, mask=None, instruction: str = "",
                 context: Optional[List[Dict]] = None,
                 return_raw_output: bool = False):
-        """One observation -> Action. Static shapes: re-traces only when the
-        input camera resolution changes."""
+        """One observation -> Action in ONE device dispatch (tokenization and
+        record assembly stay host-side; everything numeric — resize,
+        composite, normalize, depth transform, forward, decode — is a single
+        jitted program). Static shapes: re-traces only when the input camera
+        resolution changes. Graph-conditioned models keep the two-dispatch
+        path (graph construction is host-side and data-dependent)."""
+        if self.processor.requires_graph:
+            return self._predict_two_dispatch(rgb, depth, mask, instruction,
+                                              context, return_raw_output)
+        raw = self.processor.make_raw(rgb=rgb, depth=depth, mask=mask,
+                                      instruction=instruction, context=context)
+        batched = {k: np.asarray(v)[None] for k, v in raw.items()
+                   if isinstance(v, np.ndarray)}
+        spec = self.processor._spec(batched)
+        prog = self._e2e_program(spec)
+        decoded, out = prog(
+            self.variables,
+            batched.get("rgb"), batched.get("depth"), batched.get("mask"),
+            batched.get("ctx_rgb"), batched.get("ctx_depth"),
+            batched.get("ctx_mask"),
+            np.asarray([raw["ctx_count"]]) if "ctx_count" in raw else None,
+            batched["instruction"])
+        decoded = jax.tree_util.tree_map(np.asarray, decoded)
+        if self.model.is_bimanual:
+            action = Action(left_pick=decoded["left_pick"],
+                            right_pick=decoded["right_pick"],
+                            left_place=decoded["left_place"],
+                            right_place=decoded["right_place"])
+        else:
+            action = Action(pick=decoded["pick"], place=decoded["place"])
+        if return_raw_output:
+            return action, jax.tree_util.tree_map(np.asarray, out)
+        return action
+
+    def _predict_two_dispatch(self, rgb, depth, mask, instruction, context,
+                              return_raw_output):
+        """Processor dispatch + serve dispatch (graph models only)."""
         sample = self.processor(rgb=rgb, depth=depth, mask=mask,
                                 instruction=instruction, context=context)
         batch: Dict[str, Any] = {}
