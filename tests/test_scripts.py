@@ -83,3 +83,71 @@ def test_crop_tool(tmp_path):
     assert out.shape[0] == out.shape[1]  # square
     d = np.load(cdir / "cropped_raw_depth" / "05_towel_0_0.npy")
     assert d.shape == out.shape[:2]
+
+
+def test_annotate_actions_roundtrip(tmp_path):
+    """Headless annotation flow: synthesized clicks -> (N, 8) npy -> consumed
+    by RealDataset (replaces the reference's annotate_actions.ipynb)."""
+    root = tmp_path / "bimanual_real"
+    cat = root / "towel"
+    for sub in ("cropped_raw_depth", "cropped_rgb", "cropped_mask"):
+        (cat / sub).mkdir(parents=True)
+    (root / "empty").mkdir()
+    size = 48
+    rng = np.random.default_rng(0)
+    for exposure in range(2):
+        stem = f"05_towel_0_{exposure}"
+        np.save(cat / "cropped_raw_depth" / f"{stem}.npy",
+                np.full((size, size), 800.0, np.float32))
+        Image.fromarray(rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+                        ).save(cat / "cropped_rgb" / f"{stem}.png")
+        m = np.zeros((size, size, 3), np.uint8)
+        m[10:40, 10:40] = 255
+        Image.fromarray(m).save(cat / "cropped_mask" / f"{stem}.png")
+
+    sys.path.insert(0, "scripts")
+    import annotate_actions as aa
+
+    groups = aa.find_image_groups(root)
+    assert groups == [("towel", "05_towel_0",
+                       str(cat / "cropped_rgb" / "05_towel_0_0.png"))]
+    mask = aa.load_mask(root, "towel", "05_towel_0_0.png")
+    assert mask[12, 12] and not mask[0, 0]
+
+    # two manipulations; the second has an off-mask pick and is dropped
+    clicks = [(12.0, 14.0), (30.0, 32.0), (20.0, 22.0), (38.0, 36.0),
+              (2.0, 2.0), (30.0, 30.0), (20.0, 20.0), (30.0, 30.0)]
+    rows = aa.rows_from_clicks(clicks, mask)
+    assert rows.shape == (1, 8)
+    np.testing.assert_allclose(rows[0], [12, 14, 30, 32, 20, 22, 38, 36])
+
+    out = cat / "cropped_annotations" / "05_towel_0.npy"
+    aa.save_annotation(out, rows)
+    # merging the same rows again deduplicates (notebook's np.unique-without-
+    # axis update path corrupted the schema; ours must not)
+    merged = aa.save_annotation(out, rows)
+    assert merged.shape == (1, 8)
+    extra = rows + np.array([[1, 0, 0, 0, 1, 0, 0, 0]], np.float64)
+    merged = aa.save_annotation(out, extra)
+    assert merged.shape == (2, 8)
+
+    viz = aa.render_annotation(
+        np.asarray(Image.open(groups[0][2])), merged)
+    assert viz.shape == (size, size, 3) and (viz != 0).any()
+
+    with pytest.raises(ValueError):
+        aa.rows_from_clicks(clicks[:3], mask)
+
+    from bifold_tpu.data.real_dataset import RealDataset
+
+    cfg = {"name": "real", "dataset_path": str(root), "depth_scale": 1000,
+           "is_bimanual": True, "voxel_size": 0.0125, "neighbor_radius": 0.045,
+           "num_nodes": 20, "max_context_length": 3, "image_size": size}
+    proc_cfg = {"model_image_size": size, "text_encoder": None, "sigma": 5,
+                "requires_graph": False, "spatial_augment": False,
+                "strategy": "gmm", "mask_depth": True, "standardize_depth": False}
+    ds = RealDataset(cfg, processor_config=proc_cfg, partition="test")
+    raw = ds[0]
+    assert raw["left_pick"].shape == (8, 2)
+    picks = {tuple(p) for p in raw["left_pick"][raw["left_pick"][:, 0] >= 0]}
+    assert (12.0, 14.0) in picks or (13.0, 14.0) in picks
