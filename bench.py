@@ -151,7 +151,21 @@ def bench_latency(image_size: int = 384, iters: int = 30):
         t0 = time.time()
         server.predict(rgb=rgb, depth=depth, mask=mask, instruction=instruction)
         times.append(time.time() - t0)
-    return float(np.median(times) * 1e3)
+    p50 = float(np.median(times) * 1e3)
+
+    # tunnel floor: uploading the same observation bytes into a null program
+    # and fetching a scalar — everything above this is on-chip serve compute
+    n_bytes = rgb.size + mask.size + 4 * depth.size + 4 * 64
+    flat = np.zeros(n_bytes, np.uint8)
+    null = jax.jit(lambda x: x[:1].astype(jnp.float32).sum())
+    float(null(flat))
+    floor = []
+    for _ in range(iters):
+        t0 = time.time()
+        float(null(flat))
+        floor.append(time.time() - t0)
+    floor_ms = float(np.median(floor) * 1e3)
+    return p50, floor_ms, n_bytes
 
 
 def main():
@@ -191,9 +205,9 @@ def main():
     per_chip = throughput / n_chips
 
     try:
-        p50_ms = bench_latency()
+        p50_ms, tunnel_floor_ms, obs_bytes = bench_latency()
     except Exception:  # noqa: BLE001
-        p50_ms = None
+        p50_ms = tunnel_floor_ms = obs_bytes = None
 
     # the axon runtime tunnels to a remote chip: a trivial dispatch+readback
     # costs ~30 ms RTT, which dominates batch-1 latency measurements. Report
@@ -224,8 +238,14 @@ def main():
         "loss": round(loss, 4),
         "batch1_p50_ms": round(p50_ms, 3) if p50_ms is not None else None,
         "dispatch_rtt_ms": round(rtt_ms, 3) if rtt_ms is not None else None,
-        "batch1_p50_onchip_est_ms": (round(max(p50_ms - rtt_ms, 0.0), 3)
-                                     if p50_ms is not None and rtt_ms is not None
+        # observation upload + dispatch + fetch of a null program on the same
+        # bytes: the tunnel's floor for ANY serve call with this observation
+        "tunnel_floor_ms": (round(tunnel_floor_ms, 3)
+                            if tunnel_floor_ms is not None else None),
+        "observation_bytes": obs_bytes,
+        "batch1_p50_onchip_est_ms": (round(max(p50_ms - tunnel_floor_ms, 0.0), 3)
+                                     if p50_ms is not None
+                                     and tunnel_floor_ms is not None
                                      else None),
         "baseline_torch_cpu_samples_per_sec": baseline,
     }))
