@@ -22,15 +22,32 @@ from dataclasses import dataclass
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
-from bifold_tpu.models.layers import Transformer
+from bifold_tpu.models.layers import LayerNorm, Transformer
 
 __all__ = ["ClipConfig", "ClipBackbone", "CLIP_CONFIGS"]
 
 
+@jax.custom_vjp
 def quick_gelu(x):
-    return x * nn.sigmoid(1.702 * x)
+    return _quick_gelu_fwd(x)[0]
+
+
+def _quick_gelu_fwd(x):
+    xf = x.astype(jnp.float32)
+    return (xf * jax.nn.sigmoid(1.702 * xf)).astype(x.dtype), x
+
+
+def _quick_gelu_bwd(x, dy):
+    # residual-lean (see layers.py): save x only, recompute sigmoid in bwd
+    xf = x.astype(jnp.float32)
+    s = jax.nn.sigmoid(1.702 * xf)
+    return ((dy.astype(jnp.float32) * (s + 1.702 * xf * s * (1 - s))).astype(x.dtype),)
+
+
+quick_gelu.defvjp(_quick_gelu_fwd, _quick_gelu_bwd)
 
 
 @dataclass(frozen=True)
@@ -89,13 +106,13 @@ class ClipVisionTower(nn.Module):
                          nn.initializers.normal(cfg.vision_width**-0.5),
                          (cfg.num_patches + 1, cfg.vision_width))
         x = x + pos[None].astype(self.dtype)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(x)
+        x = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(x)
         x = Transformer(
             dim=cfg.vision_width, depth=cfg.vision_layers, heads=cfg.vision_heads,
             mlp_dim=cfg.vision_width * 4, fused_qkv=False, activation=quick_gelu,
             ln_eps=1e-5, dtype=self.dtype, name="transformer",
         )(x, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(x)
+        return LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(x)
 
 
 class ClipTextTower(nn.Module):
@@ -115,7 +132,7 @@ class ClipTextTower(nn.Module):
             mlp_dim=cfg.text_width * 4, fused_qkv=False, causal=True,
             activation=quick_gelu, ln_eps=1e-5, dtype=self.dtype,
             name="transformer")
-        self.ln_final = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_final")
+        self.ln_final = LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_final")
         self.text_projection = self.param(
             "text_projection", nn.initializers.normal(cfg.text_width**-0.5),
             (cfg.text_width, cfg.embed_dim))

@@ -25,7 +25,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from bifold_tpu.models.layers import Transformer
+from bifold_tpu.models.layers import LayerNorm, Transformer, gelu_tanh
 
 __all__ = ["SiglipConfig", "SiglipBackbone", "SIGLIP_BASE_CONFIGS"]
 
@@ -63,7 +63,7 @@ def _tower(cfg: SiglipConfig, lora_rank, lora_alpha, lora_dropout, remat, dtype,
         mlp_dim=cfg.mlp_dim,
         dim_head=cfg.hidden_size // cfg.heads,
         fused_qkv=False,
-        activation=lambda x: nn.gelu(x, approximate=True),  # gelu_pytorch_tanh
+        activation=gelu_tanh,  # gelu_pytorch_tanh; custom VJP saves only x
         lora_rank=lora_rank,
         lora_alpha=lora_alpha,
         lora_dropout=lora_dropout,
@@ -104,7 +104,7 @@ class SiglipVisionTower(nn.Module):
         x = x + pos[None].astype(self.dtype)
         x = _tower(cfg, self.lora_rank, self.lora_alpha, self.lora_dropout,
                    self.remat, self.dtype, "encoder")(x, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="post_layernorm")(x)
+        return LayerNorm(dtype=self.dtype, name="post_layernorm")(x)
 
 
 class SiglipTextTower(nn.Module):
@@ -130,7 +130,7 @@ class SiglipTextTower(nn.Module):
         x = tok.astype(self.dtype) + pos[None, : input_ids.shape[1]].astype(self.dtype)
         x = _tower(cfg, self.lora_rank, self.lora_alpha, self.lora_dropout,
                    self.remat, self.dtype, "encoder")(x, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="final_layer_norm")(x)
+        return LayerNorm(dtype=self.dtype, name="final_layer_norm")(x)
 
 
 class SiglipBackbone(nn.Module):

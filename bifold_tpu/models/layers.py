@@ -7,6 +7,7 @@ with float32 params and float32 softmax/LayerNorm accumulation.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Optional
 
 import flax.linen as nn
@@ -16,16 +17,140 @@ import numpy as np
 from bifold_tpu.ops.attention import dot_product_attention
 
 __all__ = [
+    "LayerNorm",
     "MultiHeadAttention",
     "FeedForward",
     "TransformerBlock",
     "Transformer",
+    "gelu_exact",
+    "gelu_tanh",
     "get_2d_sincos_pos_embed",
     "normal_init",
 ]
 
 # reference init_weights: normal(0, 0.02) for Linear/Embedding (models/utils.py:86-94)
 normal_init = nn.initializers.normal(stddev=0.02)
+
+
+# ---------------------------------------------------------------------------
+# Residual-lean LayerNorm and GELU.
+#
+# Under nn.scan the backward materializes every per-layer AD residual as a
+# [depth, ...] stack in HBM. flax's LayerNorm saves three float32 stacks of
+# the full hidden state per call (the _normalize intermediates), and jax's
+# gelu saves four-plus 3072-wide stacks of tanh/erf intermediates per MLP.
+# These custom VJPs save only the bfloat16 inputs (plus per-row LN stats)
+# and recompute the cheap elementwise math in the backward — on the flagship
+# step that removes ~4 GB of saved activations (measured with
+# jax.ad_checkpoint.saved_residuals; see tools/attn_bench.py history).
+# ---------------------------------------------------------------------------
+
+import jax  # noqa: E402  (after flax import for readability above)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _layer_norm(x, scale, bias, eps):
+    out, _ = _layer_norm_fwd(x, scale, bias, eps)
+    return out
+
+
+def _layer_norm_stats(xf, eps):
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    # fast variance (matches flax use_fast_variance): E[x^2] - E[x]^2
+    var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+    return mean, jax.lax.rsqrt(var + eps)
+
+
+def _layer_norm_fwd(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mean, rstd = _layer_norm_stats(xf, eps)
+    y = (xf - mean) * rstd
+    out = (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+    return out, (x, mean, rstd, scale)
+
+
+def _layer_norm_bwd(eps, res, dy):
+    x, mean, rstd, scale = res
+    xf = x.astype(jnp.float32)
+    dyf = dy.astype(jnp.float32)
+    xhat = (xf - mean) * rstd
+    dscale = jnp.sum(dyf * xhat, axis=tuple(range(dy.ndim - 1)))
+    dbias = jnp.sum(dyf, axis=tuple(range(dy.ndim - 1)))
+    dxhat = dyf * scale.astype(jnp.float32)
+    dx = rstd * (dxhat
+                 - jnp.mean(dxhat, axis=-1, keepdims=True)
+                 - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True))
+    return (dx.astype(x.dtype), dscale.astype(scale.dtype),
+            dbias.astype(scale.dtype))
+
+
+_layer_norm.defvjp(_layer_norm_fwd, _layer_norm_bwd)
+
+
+class LayerNorm(nn.Module):
+    """Drop-in for nn.LayerNorm (same param names/shapes) whose backward
+    recomputes the normalization from the bfloat16 input instead of saving
+    float32 intermediates. Stats always accumulate in float32."""
+
+    epsilon: float = 1e-6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,))
+        bias = self.param("bias", nn.initializers.zeros, (dim,))
+        return _layer_norm(x.astype(self.dtype), scale, bias, float(self.epsilon))
+
+
+_SQRT_2_OVER_PI = 0.7978845608028654
+_TANH_C = 0.044715
+
+
+@jax.custom_vjp
+def gelu_tanh(x):
+    """gelu(approximate=True) saving only x for the backward."""
+    return _gelu_tanh_fwd(x)[0]
+
+
+def _gelu_tanh_fwd(x):
+    xf = x.astype(jnp.float32)
+    t = jnp.tanh(_SQRT_2_OVER_PI * (xf + _TANH_C * xf ** 3))
+    return (0.5 * xf * (1.0 + t)).astype(x.dtype), x
+
+
+def _gelu_tanh_bwd(x, dy):
+    xf = x.astype(jnp.float32)
+    u = _SQRT_2_OVER_PI * (xf + _TANH_C * xf ** 3)
+    t = jnp.tanh(u)
+    du = _SQRT_2_OVER_PI * (1.0 + 3.0 * _TANH_C * xf * xf)
+    dgelu = 0.5 * (1.0 + t) + 0.5 * xf * (1.0 - t * t) * du
+    return ((dy.astype(jnp.float32) * dgelu).astype(x.dtype),)
+
+
+gelu_tanh.defvjp(_gelu_tanh_fwd, _gelu_tanh_bwd)
+
+
+@jax.custom_vjp
+def gelu_exact(x):
+    """Exact (erf) gelu, like torch nn.GELU default, saving only x."""
+    return _gelu_exact_fwd(x)[0]
+
+
+def _gelu_exact_fwd(x):
+    xf = x.astype(jnp.float32)
+    cdf = 0.5 * (1.0 + jax.lax.erf(xf / jnp.sqrt(2.0).astype(jnp.float32)))
+    return (xf * cdf).astype(x.dtype), x
+
+
+def _gelu_exact_bwd(x, dy):
+    xf = x.astype(jnp.float32)
+    cdf = 0.5 * (1.0 + jax.lax.erf(xf / jnp.sqrt(2.0).astype(jnp.float32)))
+    pdf = jnp.exp(-0.5 * xf * xf) * (1.0 / jnp.sqrt(2.0 * jnp.pi)).astype(jnp.float32)
+    return ((dy.astype(jnp.float32) * (cdf + xf * pdf)).astype(x.dtype),)
+
+
+gelu_exact.defvjp(_gelu_exact_fwd, _gelu_exact_bwd)
 
 
 class MultiHeadAttention(nn.Module):
@@ -111,7 +236,9 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic=True):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
-        x = self.activation(x)
+        # plain nn.gelu routes to the residual-lean custom-VJP version
+        act = gelu_exact if self.activation is nn.gelu else self.activation
+        x = act(x)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
@@ -139,7 +266,7 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, key_mask=None, *, legacy_query_mask=None, deterministic=True):
-        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x)
+        h = LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x)
         h = MultiHeadAttention(
             dim=self.dim,
             heads=self.heads,
@@ -154,7 +281,7 @@ class TransformerBlock(nn.Module):
             name="attn",
         )(h, key_mask, legacy_query_mask=legacy_query_mask, deterministic=deterministic)
         x = x + h
-        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x)
+        h = LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x)
         h = FeedForward(
             dim=self.dim, hidden_dim=self.mlp_dim, dropout=self.dropout,
             activation=self.activation, dtype=self.dtype, name="mlp",

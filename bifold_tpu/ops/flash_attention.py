@@ -9,10 +9,19 @@ materializes scores in HBM:
 - forward: each grid step owns one (block_q, d) query tile in VMEM and walks
   K/V tiles with the online-softmax recurrence (running max m, normalizer l,
   accumulator in float32), emitting the output tile and the row logsumexp;
-- backward: two kernels recompute probabilities blockwise from the saved
-  logsumexp — a dq kernel blocked over queries and a dk/dv kernel blocked
-  over keys — so HBM traffic stays O(N*d) end to end and training memory no
-  longer carries (B, H, N, N) probability tensors.
+- backward: ONE fused kernel blocked over queries recomputes probabilities
+  from the saved logsumexp and emits dq for its block while accumulating
+  dk/dv into VMEM-resident full-row blocks (float32, index map ignores the
+  q-block grid axis). The fusion computes p and dp once per block pair —
+  5 matmuls instead of the 7 a separate dq + dk/dv pair costs — and halves
+  kernel launches; HBM traffic stays O(N*d) and training memory never
+  carries (B, H, N, N) probability tensors.
+
+In-kernel matmuls are float32 regardless of input dtype: both the d-wide
+(48/64 lane) contractions AND the block-wide ones measured faster with f32
+inputs on v5e than bf16 (bf16 second-stage inputs re-measured 2026-08:
++10% step time — cast/relayout costs exceed the MXU-rate gain at these
+shapes). Accumulation is always float32.
 
 Layout in: (B, N, H, Dh); internally (B*H, N, Dh). Padding to block multiples
 is handled here (padded keys get key_mask 0; padded queries are sliced off;
@@ -168,8 +177,24 @@ def _forward_with_lse(q, k, v, key_mask, scale, block_q, block_k, interpret):
 # ---------------------------------------------------------------------------
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
-               dq_ref, *, scale, block_k, kv_len):
+def _dqkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+                 dq_ref, dk_ref, dv_ref, *, scale, block_k, kv_len):
+    """Fused backward: one pass over K blocks produces this q block's dq and
+    accumulates dk/dv into full-size output blocks.
+
+    The dk/dv BlockSpecs ignore the q-block grid index, so Pallas keeps the
+    same VMEM block resident across the (sequential) q-block steps of one
+    (b*h) row — initialized at the first step, written back to HBM when the
+    row advances. Compared with separate dq and dk/dv kernels this computes
+    the recomputed probabilities and dp ONCE (5 matmuls per block pair
+    instead of 7) and halves kernel launches."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
     lse = lse_ref[0, 0][:, None]      # (bq, 1)
@@ -178,17 +203,24 @@ def _dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
     num_k = kv_len // block_k
 
     def body(i, dq):
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        ks = pl.ds(i * block_k, block_k)
+        k = k_ref[0, ks, :].astype(jnp.float32)
+        v = v_ref[0, ks, :].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        kmask = mask_ref[0, 0, pl.ds(i * block_k, block_k)]
+            preferred_element_type=jnp.float32) * scale       # (bq, bk)
+        kmask = mask_ref[0, 0, ks]
         s = jnp.where(kmask[None, :] == 0, _NEG, s)
-        p = jnp.exp(s - lse)                                  # (bq, bk)
+        p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale
+        ds = p * (dp - delta) * scale                         # (bq, bk)
+        # dk/dv output blocks are float32 so the cross-step accumulation
+        # never rounds through bfloat16
+        dv_ref[0, ks, :] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dk_ref[0, ks, :] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         return dq + jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
@@ -196,58 +228,30 @@ def _dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
-def _dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, *, scale, block_q, q_len):
-    k = k_ref[0].astype(jnp.float32)  # (bk, d)
-    v = v_ref[0].astype(jnp.float32)
-    kmask = mask_ref[0, 0]            # (bk,)
-    bk, d = k.shape
-    num_q = q_len // block_q
-
-    def body(i, carry):
-        dk, dv = carry
-        q = q_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse = lse_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
-        delta = delta_ref[0, 0, pl.ds(i * block_q, block_q)][:, None]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale       # (bq, bk)
-        s = jnp.where(kmask[None, :] == 0, _NEG, s)
-        p = jnp.exp(s - lse)
-        dv_new = dv + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale                         # (bq, bk)
-        dk_new = dk + jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        return dk_new, dv_new
-
-    dk0 = jnp.zeros((bk, d), jnp.float32)
-    dv0 = jnp.zeros((bk, d), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, num_q, body, (dk0, dv0))
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
-
-
 def _backward(q, k, v, key_mask, out, lse, g, scale, block_q, block_k,
               interpret):
     b, nq, h, d = q.shape
     nk = k.shape[1]
-    block_q, block_k = _pick_blocks(nq, nk, block_q, block_k)
+    # smaller q blocks + budget than forward: the fused kernel keeps dk/dv
+    # f32 accumulator blocks and four (block_q, block_k) temporaries resident
+    block_q, block_k = _pick_blocks(nq, nk, min(block_q, 512), block_k,
+                                    vmem_budget=4 * 1024 * 1024)
     qb, kb, vb, maskb = _prepare(q, k, v, key_mask, block_q, block_k)
     gb = _pad_to(g.transpose(0, 2, 1, 3).reshape(b * h, nq, d), 1, block_q)
     nq_pad, nk_pad = qb.shape[1], kb.shape[1]
     bh = qb.shape[0]
 
+    # out arrives in public (b, nq, h, d) layout; lse padded to the
+    # FORWARD's q block — re-shape/re-pad both to this kernel's blocks
+    out = _pad_to(out.transpose(0, 2, 1, 3).reshape(b * h, nq, d), 1, block_q)
+    lse = _pad_to(lse[:, :, :nq], 2, block_q)
+
     # delta_i = sum_d dO_i * O_i  (rowwise), padded like lse: (bh, 1, nq_pad)
-    delta = jnp.sum(gb.astype(jnp.float32)
-                    * _pad_to(out.astype(jnp.float32), 1, block_q), axis=-1)
+    delta = jnp.sum(gb.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     delta = delta[:, None, :]
 
-    dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, block_k=block_k,
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_dqkv_kernel, scale=scale, block_k=block_k,
                           kv_len=nk_pad),
         grid=(bh, nq_pad // block_q),
         in_specs=[
@@ -260,41 +264,29 @@ def _backward(q, k, v, key_mask, out, lse, g, scale, block_q, block_k,
             pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
-        interpret=interpret,
-    )(qb, kb, vb, maskb, gb, lse, delta)
-
-    dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, block_q=block_q,
-                          q_len=nq_pad),
-        grid=(bh, nk_pad // block_k),
-        in_specs=[
-            pl.BlockSpec((1, nq_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k), lambda i, j, _h=h: (i // _h, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nq_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nq_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nq_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
         out_specs=(
-            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            # dk/dv: full-row blocks whose index ignores j -> kept resident
+            # in VMEM and accumulated across the q-block steps of each (b*h)
+            pl.BlockSpec((1, nk_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_pad, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, nk_pad, d), k.dtype),
-            jax.ShapeDtypeStruct((bh, nk_pad, d), v.dtype),
+            jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, nk_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, nk_pad, d), jnp.float32),
         ),
         interpret=interpret,
     )(qb, kb, vb, maskb, gb, lse, delta)
 
-    def from_bh(x, n):
-        return x[:, :n].reshape(b, h, n, d).transpose(0, 2, 1, 3)
+    def from_bh(x, n, dtype):
+        return x[:, :n].reshape(b, h, n, d).transpose(0, 2, 1, 3).astype(dtype)
 
-    return from_bh(dq, nq), from_bh(dk, nk), from_bh(dv, nk)
+    return (from_bh(dq, nq, q.dtype), from_bh(dk, nk, k.dtype),
+            from_bh(dv, nk, v.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -316,12 +308,14 @@ def _flash_fwd(q, k, v, key_mask, scale, block_q, block_k, interpret):
                                        block_k, interpret)
     b, nq, h, d = q.shape
     out = out_bh[:, :nq].reshape(b, h, nq, d).transpose(0, 2, 1, 3)
-    return out, (q, k, v, key_mask, out_bh, lse)
+    # save the public-layout out (aliases the value the consumer saves for
+    # its own backward) instead of the q-padded out_bh copy
+    return out, (q, k, v, key_mask, out, lse)
 
 
 def _flash_bwd(scale, block_q, block_k, interpret, res, g):
-    q, k, v, key_mask, out_bh, lse = res
-    dq, dk, dv = _backward(q, k, v, key_mask, out_bh, lse, g, scale,
+    q, k, v, key_mask, out, lse = res
+    dq, dk, dv = _backward(q, k, v, key_mask, out, lse, g, scale,
                            block_q, block_k, interpret)
     return dq, dk, dv, None
 
