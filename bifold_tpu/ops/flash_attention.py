@@ -49,11 +49,15 @@ _NEG = -100000.0  # matches the XLA backend / reference fill value
 
 def _pick_blocks(nq: int, nk: int, block_q: int, block_k: int,
                  vmem_budget: int = 8 * 1024 * 1024):
-    """Power-of-two q blocks (<= block_q) + a single KV pass under a VMEM
-    budget. Measured on v5e: padding-minimizing q blocks (576 -> 640,
-    2373 -> 3x896) LOSE to pow2 blocks despite the extra padded rows — the
-    Mosaic scheduling of 1024-row tiles is that much better (vision shape:
-    1.66 ms vs 2.13 ms; fusion within noise)."""
+    """Pow2 q blocks (<= block_q) + a single KV pass under a VMEM budget.
+
+    Measured on v5e (tools/attn_bench.py, +-6% noise): 256-row q blocks are
+    the sweet spot at both flagship shapes — fusion (n 2373) fwd+bwd
+    4.1 ms vs 4.8 at 1024-row blocks (25% fewer padded rows), vision
+    (n 576) 2.28 vs 2.40. Single-block padding-minimizing variants
+    (576 -> 640 one block, 2373 -> 3x896) LOSE outright — grid steps must
+    stay plentiful enough to pipeline. q blocks must be multiples of 128
+    (the lse output's trailing block dim)."""
     block_q = min(block_q, max(128, 1 << (nq - 1).bit_length()))
     nk_pad128 = -(-nk // 128) * 128
     if block_q * nk_pad128 * 4 <= vmem_budget:
@@ -330,7 +334,7 @@ def flash_attention(
     key_mask=None,
     *,
     scale: float | None = None,
-    block_q: int = 1024,
+    block_q: int = 256,
     block_k: int = 512,
     interpret: bool = False,
 ):
@@ -350,7 +354,7 @@ def _flash_forward(
     key_mask=None,
     *,
     scale: float | None = None,
-    block_q: int = 1024,
+    block_q: int = 256,
     block_k: int = 512,
     interpret: bool = False,
 ):

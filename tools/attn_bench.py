@@ -88,10 +88,13 @@ def timed_grad(fn, *args, reps=3):
 
 
 def run(name, attn=None, label=""):
+    import os
     from bifold_tpu.ops.flash_attention import flash_attention
 
+    bq = os.environ.get("ATTN_BLOCK_Q")  # unset -> kernel defaults
+    kw = {"block_q": int(bq)} if bq else {}
     if attn is None:
-        attn = lambda q, k, v, m: flash_attention(q, k, v, key_mask=m)
+        attn = lambda q, k, v, m: flash_attention(q, k, v, key_mask=m, **kw)
     cfg = SHAPES[name]
     q, k, v, mask = make_inputs(**cfg)
     fwd_ms = timed(bench_fn(attn, grad=False), q, k, v, mask)
