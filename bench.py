@@ -81,13 +81,15 @@ def _flagship(batch: int, image_size: int = 384, context: int = 3):
     )(jax.random.key(0))["params"]
     loss_fn = build_loss({"name": "bce_gaussmap", "is_bimanual": True,
                           "mask_pick_heatmap": False})
+    mask = trainable_mask(params, lora=True)
     tx, _ = build_optimizer(
         {"name": "adam", "lr": 1e-4, "betas": [0.9, 0.999], "eps": 1e-8,
          "weight_decay": 0}, None, max_iters=100,
-        trainable=trainable_mask(params, lora=True),
+        trainable=mask,
         gradient_clip=1.0)  # repeated random batch diverges unclipped
     opt_state = tx.init(params)
-    step = parallel.make_train_step(model, loss_fn, tx, donate=True)
+    step = parallel.make_train_step(model, loss_fn, tx, donate=True,
+                                    trainable=mask)
     return model, proc, raw, device_batch, params, opt_state, step
 
 

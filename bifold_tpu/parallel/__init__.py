@@ -198,7 +198,21 @@ def make_train_step(model, loss_fn: Callable, tx, *,
     batch with :func:`shard_batch`; jit then propagates shardings and inserts
     the dp all-reduce for gradients. ``metrics`` carries loss + per-head
     intermediates (scalars, replicated).
+
+    When ``trainable`` (a boolean pytree matching params) marks frozen
+    subtrees, the loss is differentiated ONLY w.r.t. the trainable leaves —
+    frozen leaves enter as non-differentiated operands and their grads are
+    structural zeros. This is the torch/peft ``requires_grad=False``
+    semantics the reference trains under (siglip.py:42-43): the backward
+    skips every frozen dW matmul and its [depth, out, in] scan-stacked
+    accumulator (measured ~10% of the flagship step), and global-norm
+    clipping normalizes over trainable grads only, as torch's
+    clip_grad_norm_ over optimizer params does (reference __main__.py:148).
     """
+
+    tmask_leaves = (jax.tree_util.tree_leaves(trainable)
+                    if trainable is not None else None)
+    partition = tmask_leaves is not None and not all(tmask_leaves)
 
     def step(state, batch):
         params, opt_state, extra, key = state
@@ -217,8 +231,25 @@ def make_train_step(model, loss_fn: Callable, tx, *,
             loss, inter = loss_fn(out, batch)
             return loss, (inter, mutated)
 
-        (loss, (inter, mutated)), grads = jax.value_and_grad(
-            compute_loss, has_aux=True)(params)
+        if partition:
+            leaves, treedef = jax.tree_util.tree_flatten(params)
+            t_idx = [i for i, t in enumerate(tmask_leaves) if t]
+
+            def loss_from_trainable(t_leaves):
+                merged = list(leaves)
+                for i, v in zip(t_idx, t_leaves):
+                    merged[i] = v
+                return compute_loss(jax.tree_util.tree_unflatten(treedef, merged))
+
+            (loss, (inter, mutated)), g_t = jax.value_and_grad(
+                loss_from_trainable, has_aux=True)([leaves[i] for i in t_idx])
+            g_leaves = [jnp.zeros_like(l) for l in leaves]
+            for i, g in zip(t_idx, g_t):
+                g_leaves[i] = g
+            grads = jax.tree_util.tree_unflatten(treedef, g_leaves)
+        else:
+            (loss, (inter, mutated)), grads = jax.value_and_grad(
+                compute_loss, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         extra = {**extra, **mutated}
