@@ -336,6 +336,12 @@ def load_state_dict(path: str | Path) -> Dict:
     obj = torch.load(str(path), map_location="cpu", weights_only=False)
     if hasattr(obj, "state_dict"):
         obj = obj.state_dict()
+    # the reference Trainer's .pth wraps the weights: {"model": sd, "epoch",
+    # "optimizer", ...} (reference __main__.py:304-325)
+    if isinstance(obj, dict) and "model" in obj \
+            and isinstance(obj["model"], dict) \
+            and any("." in k for k in obj["model"]):
+        obj = obj["model"]
     return obj
 
 
@@ -370,7 +376,11 @@ def main() -> None:
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--checkpoint", required=True)
-    ap.add_argument("--arch", choices=["siglip", "clip"], required=True)
+    ap.add_argument("--arch", choices=["siglip", "clip", "bifold"],
+                    required=True,
+                    help="siglip/clip: a pretrained tower checkpoint; "
+                         "bifold: a full fine-tuned reference model .pth "
+                         "(e.g. the published BiFold checkpoints)")
     ap.add_argument("--layers", type=int, default=12)
     ap.add_argument("--lora", action="store_true")
     ap.add_argument("--out", required=True)
@@ -378,6 +388,8 @@ def main() -> None:
     sd = load_state_dict(args.checkpoint)
     if args.arch == "siglip":
         converted = convert_siglip(sd, layers=args.layers, lora=args.lora)
+    elif args.arch == "bifold":
+        converted = convert_bifold(sd)
     else:
         converted = convert_clip(sd, vision_layers=args.layers,
                                  text_layers=args.layers)

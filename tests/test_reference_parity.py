@@ -205,3 +205,48 @@ def test_decoded_action_parity(hf_dir):
             np.asarray(getattr(action, field), np.float64),
             np.asarray(getattr(ref_action, field), np.float64),
             err_msg=field)
+
+
+def test_convert_cli_ingests_trainer_checkpoint(hf_dir, tmp_path, monkeypatch):
+    """The published-checkpoint path end to end: a reference-Trainer-style
+    .pth ({"model": state_dict, "epoch": ...}, reference __main__.py:304-325)
+    through the `python -m bifold_tpu.models.convert --arch bifold` CLI, the
+    pickle grafted onto a fresh model, and the forward matching the torch
+    model — the workflow a user follows with the released BiFold weights."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    from bifold_tpu.models import convert as convert_mod
+    from bifold_tpu.models.convert import graft
+
+    ref = _reference_model(hf_dir, sequential=False, bimanual=False, lora=True)
+    ckpt = tmp_path / "best.pth"
+    torch.save({"model": ref.state_dict(), "epoch": 3,
+                "tracked_metric": 1.0}, str(ckpt))
+
+    out_pkl = tmp_path / "bifold_params.pkl"
+    monkeypatch.setattr(sys, "argv", [
+        "convert", "--checkpoint", str(ckpt), "--arch", "bifold",
+        "--out", str(out_pkl)])
+    convert_mod.main()
+
+    converted = pickle.loads(out_pkl.read_bytes())
+    ours = _our_model(sequential=False, bimanual=False, lora=True)
+    sample = _sample(False, False)
+    jb = {k: jnp.asarray(v) for k, v in sample.items()}
+    params = jax.jit(
+        lambda: ours.init(jax.random.key(0), jb, deterministic=True)
+    )()["params"]
+    params = graft({"m": params}, "m", converted)["m"]
+    out = jax.jit(
+        lambda p, b: ours.apply({"params": p}, b, deterministic=True)
+    )(params, jb)
+
+    with torch.no_grad():
+        ref_out = ref(_torchify(sample))
+    for h in ("pick", "place"):
+        err = np.abs(np.asarray(out[f"{h}_heatmap"])
+                     - ref_out[f"{h}_heatmap"].numpy()).max()
+        assert err < 1e-4, f"{h}_heatmap max err {err}"
