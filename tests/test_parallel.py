@@ -201,3 +201,57 @@ def test_hybrid_dcn_mesh(devices):
     assert abs(l1 - l2) < 1e-6
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_partitioned_grads_match_full_grads(devices):
+    """With a trainable mask, the step differentiates only trainable leaves
+    (requires_grad semantics). Updates must be identical to full-tree grads
+    under the masked optimizer, and frozen params must stay bitwise frozen."""
+    import flax.linen as nn
+    import optax
+
+    class Two(nn.Module):
+        @nn.compact
+        def __call__(self, batch, deterministic=True):
+            h = nn.Dense(32, name="frozen")(batch["x"])
+            return {"y": nn.Dense(16, name="head")(h)}
+
+    def loss_fn(out, batch):
+        return jnp.mean((out["y"] - batch["t"]) ** 2), {}
+
+    model = Two()
+    rng = np.random.default_rng(0)
+    batch = {"x": rng.standard_normal((8, 24)).astype(np.float32),
+             "t": rng.standard_normal((8, 16)).astype(np.float32)}
+    params = model.init(jax.random.key(0), batch)["params"]
+    mask = {"frozen": jax.tree_util.tree_map(lambda _: False, params["frozen"]),
+            "head": jax.tree_util.tree_map(lambda _: True, params["head"])}
+    # frozen leaves ride set_to_zero, as build_optimizer composes it
+    labels = jax.tree_util.tree_map(lambda t: "train" if t else "frozen", mask)
+    tx = optax.multi_transform(
+        {"train": optax.sgd(1e-2), "frozen": optax.set_to_zero()}, labels)
+
+    mesh = parallel.make_mesh({"dp": -1, "fsdp": 1, "tp": 1})
+    outs = []
+    for trainable in (None, mask):
+        step = parallel.make_train_step(model, loss_fn, tx, donate=False,
+                                        trainable=trainable)
+        p = jax.device_put(params, parallel.param_sharding(mesh, params))
+        o = jax.device_put(tx.init(params),
+                           parallel.param_sharding(mesh, tx.init(params)))
+        (p_new, _, _, _), m = step(
+            (p, o, {}, jax.random.key(1)), parallel.shard_batch(mesh, batch))
+        outs.append((jax.tree_util.tree_map(np.asarray, p_new), m))
+
+    (p_full, m_full), (p_part, m_part) = outs
+    for a, b in zip(jax.tree_util.tree_leaves(p_full),
+                    jax.tree_util.tree_leaves(p_part)):
+        np.testing.assert_allclose(a, b, atol=1e-7)
+    # frozen subtree is bitwise untouched
+    for a, b in zip(jax.tree_util.tree_leaves(params["frozen"]),
+                    jax.tree_util.tree_leaves(p_part["frozen"])):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    assert abs(float(m_full["loss"]) - float(m_part["loss"])) < 1e-6
+    # the partitioned step's headline norm covers exactly the trainable grads
+    assert np.isclose(float(m_part["grad_norm"]),
+                      float(m_part["grad_norm_trainable"]), atol=1e-6)

@@ -65,6 +65,13 @@ def main():
                 totals[name] += ev.duration_ps / 1e9  # -> ms
                 counts[name] += 1
 
+        # top copy/transpose ops get their own listing (fixed glue cost)
+        copies = {n: ms for n, ms in totals.items()
+                  if "copy" in n or "transpose" in n}
+        print("-- top copy/transpose ops")
+        for name, ms in sorted(copies.items(), key=lambda kv: -kv[1])[:12]:
+            print(f"{ms:9.3f} ms  x{counts[name]:<5d} {name[:110]}")
+
         # group by coarse kind
         groups = defaultdict(float)
         for name, ms in totals.items():
