@@ -294,6 +294,103 @@ def _backward(q, k, v, key_mask, out, lse, g, scale, block_q, block_k,
 
 
 # ---------------------------------------------------------------------------
+# SPMD partitioning
+#
+# pallas_call lowers to an opaque custom-call: without a partitioning rule
+# XLA's SPMD pass would REPLICATE it under a sharded jit — all-gathering the
+# activations onto every chip before each attention, silently destroying
+# dp/tp scaling. Attention is independent per (batch, head) row, so both
+# directions partition over b and h (keys/values/rows n, s and the head dim
+# d stay replicated); each shard runs the unmodified kernel on its slice.
+# ---------------------------------------------------------------------------
+
+from jax.experimental.custom_partitioning import custom_partitioning  # noqa: E402
+from jax.sharding import NamedSharding  # noqa: E402
+from jax.sharding import PartitionSpec as P  # noqa: E402
+
+
+def _fwd_impl(q, k, v, key_mask, scale, block_q, block_k, interpret):
+    out_bh, lse, _ = _forward_with_lse(q, k, v, key_mask, scale, block_q,
+                                       block_k, interpret)
+    b, nq, h, d = q.shape
+    out = out_bh[:, :nq].reshape(b, h, nq, d).transpose(0, 2, 1, 3)
+    return out, lse[:, 0, :nq].reshape(b, h, nq)
+
+
+def _bwd_impl(q, k, v, key_mask, out, lse_bhn, g, scale, block_q, block_k,
+              interpret):
+    b, nq, h, d = q.shape
+    lse = lse_bhn.reshape(b * h, 1, nq)
+    return _backward(q, k, v, key_mask, out, lse, g, scale, block_q, block_k,
+                     interpret)
+
+
+def _bh_spec(arg_shapes):
+    """(batch_axes, head_axes) from q's sharding; everything else replicates."""
+    sharding = getattr(arg_shapes[0], "sharding", None)
+    spec = getattr(sharding, "spec", None)
+    if spec is None:
+        return None, None
+    spec = tuple(spec) + (None,) * (4 - len(tuple(spec)))
+    return spec[0], spec[2]
+
+
+def _make_partition(n_outs_specs):
+    """partition callback: per-shard lower_fn = the unmodified impl; b/h
+    follow q's sharding, all other dims forced replicated."""
+
+    def partition(scale, block_q, block_k, interpret, mesh, arg_shapes,
+                  result_shape):
+        bs, hs = _bh_spec(arg_shapes)
+        qkv = NamedSharding(mesh, P(bs, None, hs, None))
+        mask = NamedSharding(mesh, P(bs, None))
+        by_name = {"qkv": qkv, "mask": mask,
+                   "lse": NamedSharding(mesh, P(bs, hs, None))}
+        impl = _fwd_impl if n_outs_specs == ("qkv", "lse") else _bwd_impl
+        arg_names = (("qkv",) * 3 + ("mask",)) if impl is _fwd_impl else \
+            ("qkv",) * 3 + ("mask",) + ("qkv", "lse", "qkv")
+        arg_sh = tuple(by_name[n] for n in arg_names)
+        out_sh = tuple(by_name[n] for n in n_outs_specs)
+
+        def lower_fn(*args):
+            return impl(*args, scale, block_q, block_k, interpret)
+
+        return mesh, lower_fn, out_sh, arg_sh
+
+    return partition
+
+
+def _make_infer(n_outs_specs):
+    def infer(scale, block_q, block_k, interpret, mesh, arg_shapes,
+              result_shape):
+        bs, hs = _bh_spec(arg_shapes)
+        by_name = {"qkv": NamedSharding(mesh, P(bs, None, hs, None)),
+                   "lse": NamedSharding(mesh, P(bs, hs, None))}
+        return tuple(by_name[n] for n in n_outs_specs)
+
+    return infer
+
+
+_fwd_cp = custom_partitioning(_fwd_impl, static_argnums=(4, 5, 6, 7))
+_fwd_cp.def_partition(
+    _make_partition(("qkv", "lse")),
+    infer_sharding_from_operands=_make_infer(("qkv", "lse")),
+    sharding_rule="b n h d, b s h d, b s h d, b s -> b n h d, b h n",
+    # shardy wants these listed in factor-index (first-appearance) order
+    need_replication_factors=("n", "d", "s"),
+)
+
+_bwd_cp = custom_partitioning(_bwd_impl, static_argnums=(7, 8, 9, 10))
+_bwd_cp.def_partition(
+    _make_partition(("qkv", "qkv", "qkv")),
+    infer_sharding_from_operands=_make_infer(("qkv", "qkv", "qkv")),
+    sharding_rule=("b n h d, b s h d, b s h d, b s, b n h d, b h n, b n h d "
+                   "-> b n h d, b s h d, b s h d"),
+    need_replication_factors=("n", "d", "s"),
+)
+
+
+# ---------------------------------------------------------------------------
 # Public API (custom VJP)
 # ---------------------------------------------------------------------------
 
@@ -301,17 +398,12 @@ def _backward(q, k, v, key_mask, out, lse, g, scale, block_q, block_k,
 @functools.partial(jax.custom_vjp,
                    nondiff_argnames=("scale", "block_q", "block_k", "interpret"))
 def _flash_with_vjp(q, k, v, key_mask, scale, block_q, block_k, interpret):
-    out, _, _ = _forward_with_lse(q, k, v, key_mask, scale, block_q, block_k,
-                                  interpret)
-    b, nq, h, d = q.shape
-    return out[:, :nq].reshape(b, h, nq, d).transpose(0, 2, 1, 3)
+    out, _ = _fwd_cp(q, k, v, key_mask, scale, block_q, block_k, interpret)
+    return out
 
 
 def _flash_fwd(q, k, v, key_mask, scale, block_q, block_k, interpret):
-    out_bh, lse, _ = _forward_with_lse(q, k, v, key_mask, scale, block_q,
-                                       block_k, interpret)
-    b, nq, h, d = q.shape
-    out = out_bh[:, :nq].reshape(b, h, nq, d).transpose(0, 2, 1, 3)
+    out, lse = _fwd_cp(q, k, v, key_mask, scale, block_q, block_k, interpret)
     # save the public-layout out (aliases the value the consumer saves for
     # its own backward) instead of the q-padded out_bh copy
     return out, (q, k, v, key_mask, out, lse)
@@ -319,8 +411,8 @@ def _flash_fwd(q, k, v, key_mask, scale, block_q, block_k, interpret):
 
 def _flash_bwd(scale, block_q, block_k, interpret, res, g):
     q, k, v, key_mask, out, lse = res
-    dq, dk, dv = _backward(q, k, v, key_mask, out, lse, g, scale,
-                           block_q, block_k, interpret)
+    dq, dk, dv = _bwd_cp(q, k, v, key_mask, out, lse, g, scale,
+                         block_q, block_k, interpret)
     return dq, dk, dv, None
 
 
@@ -340,9 +432,14 @@ def flash_attention(
 ):
     """Flash attention over (B, N, H, Dh) -> (B, N, H, Dh). Fully
     differentiable; forward and backward are Pallas kernels (backward
-    recomputes probabilities blockwise from the saved row logsumexp)."""
+    recomputes probabilities blockwise from the saved row logsumexp).
+    SPMD-partitionable over batch and heads (see the custom_partitioning
+    block above) — under a sharded jit each shard runs the kernel locally
+    instead of XLA replicating the opaque custom-call."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if key_mask is None:  # concrete operand for the partitioner
+        key_mask = jnp.ones((q.shape[0], k.shape[1]), jnp.int32)
     return _flash_with_vjp(q, k, v, key_mask, scale, block_q, block_k, interpret)
 
 

@@ -112,3 +112,56 @@ def test_flash_backward_matches_xla_reference():
                      argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(g_flash, g_ref):
         assert float(jnp.abs(a - b_).max()) < 1e-4
+
+
+def test_flash_partitions_over_batch_and_heads():
+    """Under a sharded jit the flash custom-call must partition over (b, h)
+    — not be replicated (XLA's default for opaque custom-calls, which would
+    all-gather activations and destroy dp/tp scaling). Checks numerics and
+    that the compiled module contains no all-gather."""
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("dp", "tp"))
+    rng = np.random.default_rng(3)
+    b, n, h, d = 8, 256, 4, 32
+    q, k, v = (jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+               for _ in range(3))
+    mask = jnp.asarray(rng.integers(0, 2, (b, n)), jnp.int32).at[:, :4].set(1)
+
+    qs = NamedSharding(mesh, P("dp", None, "tp", None))
+    ms = NamedSharding(mesh, P("dp", None))
+    qp, kp, vp = (jax.device_put(t, qs) for t in (q, k, v))
+    mp = jax.device_put(mask, ms)
+
+    def loss(q, k, v, m):
+        return jnp.sum(flash_attention(q, k, v, key_mask=m, block_q=128,
+                                       block_k=128, interpret=True) ** 2)
+
+    fwd = jax.jit(lambda *a: flash_attention(*a[:3], key_mask=a[3],
+                                             block_q=128, block_k=128,
+                                             interpret=True),
+                  in_shardings=(qs, qs, qs, ms))
+    grad = jax.jit(jax.grad(loss, argnums=(0, 1, 2)),
+                   in_shardings=(qs, qs, qs, ms))
+
+    out = fwd(qp, kp, vp, mp)
+    ref = _xla_ref_for_test(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    g = grad(qp, kp, vp, mp)
+    g_ref = jax.grad(lambda *a: jnp.sum(_xla_ref_for_test(*a) ** 2),
+                     argnums=(0, 1, 2))(q, k, v, mask)
+    for a, b_ in zip(g, g_ref):
+        assert float(jnp.abs(a - b_).max()) < 1e-4
+
+    for fn, args in ((fwd, (qp, kp, vp, mp)), (grad, (qp, kp, vp, mp))):
+        hlo = fn.lower(*args).compile().as_text()
+        assert "all-gather" not in hlo, "flash attention was replicated"
+
+
+def _xla_ref_for_test(q, k, v, mask):
+    from bifold_tpu.ops.flash_attention import _xla_reference
+
+    return _xla_reference(q, k, v, mask, q.shape[-1] ** -0.5)
