@@ -90,7 +90,11 @@ def dot_product_attention(
     if use_flash:
         from bifold_tpu.ops.flash_attention import flash_attention
 
-        out = flash_attention(q, k, v, key_mask=key_mask, scale=scale)
+        # interpret mode lets CPU tests drive the REAL flash code path
+        # (incl. its SPMD partitioning) without a TPU
+        interpret = bool(os.environ.get("BIFOLD_FLASH_INTERPRET"))
+        out = flash_attention(q, k, v, key_mask=key_mask, scale=scale,
+                              interpret=interpret)
         return (out, None) if return_weights else out
 
     out, probs = _xla_attention(q, k, v, key_mask, legacy_query_mask, scale, causal)

@@ -255,3 +255,53 @@ def test_partitioned_grads_match_full_grads(devices):
     # the partitioned step's headline norm covers exactly the trainable grads
     assert np.isclose(float(m_part["grad_norm"]),
                       float(m_part["grad_norm_trainable"]), atol=1e-6)
+
+
+def test_sharded_model_flash_matches_xla(devices, monkeypatch):
+    """The flagship integration of the partitioned flash kernel: a tiny
+    sequential model's train-step loss/grads under a dp x tp mesh must match
+    between the flash path (interpret mode on CPU) and the XLA path."""
+    from bifold_tpu.losses import build_loss
+    from bifold_tpu.models import build_model
+
+    model = build_model({
+        "name": "siglip_sequential", "image_size": 256, "is_bimanual": False,
+        "patch_size": 16, "automodel_name": "tiny", "dim": 64, "lora": True,
+        "r": 4, "lora_alpha": 8, "lora_dropout": 0.0, "depth": 2, "heads": 4,
+        "context_length": 2,
+    })
+    rng = np.random.default_rng(0)
+    b, s, t = 4, 256, 2
+    yy, xx = np.mgrid[0:s, 0:s]
+    gm = np.exp(-((xx - 90.0) ** 2 + (yy - 120.0) ** 2) / 50.0)
+    batch = {
+        "rgb": jnp.asarray(rng.standard_normal((b, 3, s, s)), jnp.float32),
+        "rgb_context": jnp.asarray(rng.standard_normal((b, t, 3, s, s)), jnp.float32),
+        "instruction": jnp.asarray(rng.integers(0, 30000, (b, 64)), jnp.int32),
+        "context_attention_mask": jnp.asarray([[1, 1], [1, 0], [0, 0], [1, 1]], jnp.int32),
+        "pick_heatmap": jnp.asarray(np.broadcast_to(gm, (b, s, s)), jnp.float32),
+        "place_heatmap": jnp.asarray(np.broadcast_to(gm, (b, s, s)), jnp.float32),
+    }
+    params = model.init(jax.random.key(0), batch, deterministic=True)["params"]
+    loss_fn = build_loss({"name": "bce_gaussmap", "is_bimanual": False,
+                          "mask_pick_heatmap": False})
+    mesh = parallel.make_mesh({"dp": 2, "fsdp": 2, "tp": 2})
+    p = jax.device_put(params, parallel.param_sharding(mesh, params))
+    bsh = parallel.shard_batch(mesh, batch)
+
+    def loss_of(p, batch):
+        out = model.apply({"params": p}, batch, deterministic=True)
+        return loss_fn(out, batch)[0]
+
+    results = {}
+    for backend in ("xla", "flash"):
+        monkeypatch.setenv("BIFOLD_ATTN_BACKEND", backend)
+        monkeypatch.setenv("BIFOLD_FLASH_INTERPRET", "1")
+        loss, grads = jax.jit(jax.value_and_grad(loss_of))(p, bsh)
+        results[backend] = (float(loss),
+                            jax.tree_util.tree_map(np.asarray, grads))
+
+    (l1, g1), (l2, g2) = results["xla"], results["flash"]
+    assert abs(l1 - l2) < 1e-5, (l1, l2)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(a, b_, atol=2e-4)
