@@ -141,7 +141,10 @@ def bench_latency(image_size: int = 384, iters: int = 30):
     }
     variables = jax.jit(
         lambda k: model.init(k, init_sample, deterministic=True))(jax.random.key(0))
-    server = ServingModel(model, variables, proc, threshold=0.01)
+    # float16 depth wire: depth dominates the upload and the tunnel moves
+    # ~25 MB/s, so halving its bytes is ~6 ms off the observation floor
+    server = ServingModel(model, variables, proc, threshold=0.01,
+                          depth_wire_dtype="float16")
 
     rgb = rng.integers(0, 255, (s, s, 3), dtype=np.uint8)
     depth = rng.random((s, s)).astype(np.float32)
@@ -157,7 +160,7 @@ def bench_latency(image_size: int = 384, iters: int = 30):
 
     # tunnel floor: uploading the same observation bytes into a null program
     # and fetching a scalar — everything above this is on-chip serve compute
-    n_bytes = rgb.size + mask.size + 4 * depth.size + 4 * 64
+    n_bytes = rgb.size + mask.size + 2 * depth.size + 4 * 64
     flat = np.zeros(n_bytes, np.uint8)
     null = jax.jit(lambda x: x[:1].astype(jnp.float32).sum())
     float(null(flat))

@@ -32,11 +32,17 @@ __all__ = ["ServingModel"]
 
 class ServingModel:
     def __init__(self, model, variables, processor: Processor,
-                 threshold: Optional[float] = None):
+                 threshold: Optional[float] = None,
+                 depth_wire_dtype: str = "float32"):
         self.model = model
         self.variables = jax.tree_util.tree_map(jnp.asarray, variables)
         self.processor = processor
         self.threshold = float(model.threshold if threshold is None else threshold)
+        # depth dominates the observation upload (float32 H*W vs uint8 rgb);
+        # "float16" halves its wire bytes (~0.3 mm quantization at ~1 m —
+        # far below the depth sensor noise the pipeline already models)
+        assert depth_wire_dtype in ("float32", "float16")
+        self._depth_wire_f16 = depth_wire_dtype == "float16"
 
         def _serve(variables, batch):
             out = model.apply(variables, batch, deterministic=True)
@@ -54,6 +60,7 @@ class ServingModel:
     _INT_INPUTS = ("instruction", "ctx_count")
     _U8_INPUTS = ("rgb", "ctx_rgb")
     _BINARY_INPUTS = ("mask", "ctx_mask")  # 0/1 floats travel as uint8
+    _DEPTH_INPUTS = ("depth", "ctx_depth")
 
     def _e2e_program(self, spec, schema):
         """Jitted raw-pixels->Action program: the processor ``_core``, the
@@ -65,7 +72,7 @@ class ServingModel:
         ``schema``: tuple of (name, offset, shape) describing how the raw
         inputs are packed into the single flat float32 upload.
         """
-        key = (spec, schema)
+        key = (spec, schema, self._depth_wire_f16)
         if key in self._e2e_programs:
             return self._e2e_programs[key]
 
@@ -73,6 +80,7 @@ class ServingModel:
 
         model, threshold = self.model, self.threshold
         fields = self._action_fields()
+        depth_f16 = self._depth_wire_f16
 
         def serve(variables, flat):
             inputs = {}
@@ -82,6 +90,10 @@ class ServingModel:
                     x = flat[off:off + size].reshape(shape)
                 elif name in self._BINARY_INPUTS:
                     x = flat[off:off + size].reshape(shape).astype(jnp.float32)
+                elif depth_f16 and name in self._DEPTH_INPUTS:
+                    raw_bytes = flat[off:off + 2 * size].reshape(size, 2)
+                    x = jax.lax.bitcast_convert_type(raw_bytes, jnp.float16)
+                    x = x.reshape(shape).astype(jnp.float32)
                 else:
                     # 4-byte payloads travel as raw bytes; bitcast on device
                     dtype = jnp.int32 if name in self._INT_INPUTS else jnp.float32
@@ -117,7 +129,8 @@ class ServingModel:
 
     @classmethod
     def from_checkpoint(cls, checkpoint_path: str, cfg: Config | dict,
-                        threshold: Optional[float] = None) -> "ServingModel":
+                        threshold: Optional[float] = None,
+                        depth_wire_dtype: str = "float32") -> "ServingModel":
         from bifold_tpu.utils.checkpoint import load_checkpoint
 
         cfg = Config(cfg) if not isinstance(cfg, Config) else cfg
@@ -129,7 +142,8 @@ class ServingModel:
             dict(cfg["processor"]), partition="test",
             max_context_length=mcl,
             autoprocessor_name=dict(cfg["model"]).get("automodel_name"))
-        return cls(model, variables, processor, threshold=threshold)
+        return cls(model, variables, processor, threshold=threshold,
+                   depth_wire_dtype=depth_wire_dtype)
 
     # ------------------------------------------------------------------
 
@@ -166,6 +180,8 @@ class ServingModel:
                 payload = np.ravel(arr).astype(np.uint8)
             elif name in self._INT_INPUTS:
                 payload = np.ravel(arr).astype(np.int32).view(np.uint8)
+            elif self._depth_wire_f16 and name in self._DEPTH_INPUTS:
+                payload = np.ravel(arr).astype(np.float16).view(np.uint8)
             else:
                 payload = np.ravel(arr).astype(np.float32).view(np.uint8)
             parts.append(payload)

@@ -204,3 +204,28 @@ def test_text_unet_trainer_batch_stats(tmp_path):
     trainer.save_model("last")
     _, metrics = trainer.eval_epoch(0)
     assert np.isfinite(metrics["kp_mse"])
+
+
+def test_serving_depth_wire_f16_matches_f32(trained):
+    """depth_wire_dtype=float16 halves the depth upload; the decoded Action
+    and heatmaps must stay (near-)identical to the float32 wire."""
+    tmp_path, cfg, trainer, _ = trained
+    from bifold_tpu.serving import ServingModel
+
+    rng = np.random.default_rng(1)
+    rgb = rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)
+    depth = rng.random((96, 96)).astype(np.float32)
+    mask = (rng.random((96, 96)) > 0.5).astype(np.float32)
+
+    outs = {}
+    for wire in ("float32", "float16"):
+        server = ServingModel.from_checkpoint(
+            str(trainer.ckpt_dir / "last.ckpt"), cfg, depth_wire_dtype=wire)
+        outs[wire] = server.predict(rgb=rgb, depth=depth, mask=mask,
+                                    instruction="fold the towel in half",
+                                    return_raw_output=True)
+    (a32, r32), (a16, r16) = outs["float32"], outs["float16"]
+    np.testing.assert_allclose(np.asarray(r16["pick_heatmap"]),
+                               np.asarray(r32["pick_heatmap"]), atol=2e-3)
+    assert float(np.abs(np.asarray(a16.pick, np.float64)
+                        - np.asarray(a32.pick, np.float64)).max()) <= 1.0
