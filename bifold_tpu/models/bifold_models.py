@@ -136,6 +136,12 @@ class SiglipSequential(SigLip):
         backbone = self._backbone()
         b = sample["rgb"].shape[0]
 
+        if "rgb_context" not in sample:
+            raise KeyError(
+                "siglip_sequential needs context frames (rgb_context / "
+                "context_attention_mask) — use a *_sequential dataset or set "
+                "train_dataset.max_context_length > 0; for context-free "
+                "training use model=siglip")
         # current + context frames run through the shared vision tower as ONE
         # batched pass of B*(T+1) frames (the reference encodes them in two:
         # siglip.py:87,102-104 — same math, but separate launches halve the
