@@ -230,15 +230,15 @@ class FeedForward(nn.Module):
     dim: int
     hidden_dim: int
     dropout: float = 0.0
-    activation: Callable = nn.gelu  # exact GELU, like torch nn.GELU default
+    # torch nn.GELU default is the exact (erf) form — flax's nn.gelu is NOT
+    # (approximate=True); declare the parity-correct default explicitly
+    activation: Callable = gelu_exact
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic=True):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
-        # plain nn.gelu routes to the residual-lean custom-VJP version
-        act = gelu_exact if self.activation is nn.gelu else self.activation
-        x = act(x)
+        x = self.activation(x)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
@@ -257,7 +257,7 @@ class TransformerBlock(nn.Module):
     fused_qkv: bool = True
     causal: bool = False
     dropout: float = 0.0
-    activation: Callable = nn.gelu
+    activation: Callable = gelu_exact
     lora_rank: int = 0
     lora_alpha: float = 1.0
     lora_dropout: float = 0.0
@@ -336,7 +336,7 @@ class Transformer(nn.Module):
     fused_qkv: bool = True
     causal: bool = False
     dropout: float = 0.0
-    activation: Callable = nn.gelu
+    activation: Callable = gelu_exact
     lora_rank: int = 0
     lora_alpha: float = 1.0
     lora_dropout: float = 0.0

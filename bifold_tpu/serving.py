@@ -176,7 +176,12 @@ class ServingModel:
             if name not in batched:
                 continue
             arr = batched[name]
-            if name in self._U8_INPUTS or name in self._BINARY_INPUTS:
+            if name in self._BINARY_INPUTS:
+                # soft masks (anti-aliased edges, /255 PNG loads) must keep
+                # the pipeline's round-to-nearest semantics on the 1-byte
+                # wire — a plain uint8 cast floors 0.5..0.99 edges to 0
+                payload = np.ravel(np.round(arr)).astype(np.uint8)
+            elif name in self._U8_INPUTS:
                 payload = np.ravel(arr).astype(np.uint8)
             elif name in self._INT_INPUTS:
                 payload = np.ravel(arr).astype(np.int32).view(np.uint8)

@@ -79,11 +79,15 @@ def rows_from_clicks(clicks: List[Tuple[float, float]],
     Clicks come in chunks of 4 (left pick/place, right pick/place); a chunk
     is dropped (with a warning) when either pick is off-mask — the notebook's
     validity rule (cell 6: ``mask[from_left[1], from_left[0]] and ...``).
+    A trailing partial chunk (stray clicks before Enter) is dropped with a
+    warning rather than aborting a long annotation session.
     """
     if len(clicks) % POINTS_PER_ROW:
-        raise ValueError(
-            f"{len(clicks)} clicks is not a multiple of {POINTS_PER_ROW} "
-            "(left pick, left place, right pick, right place)")
+        keep = len(clicks) - len(clicks) % POINTS_PER_ROW
+        print(f"  [skip] {len(clicks) - keep} stray click(s) at the end "
+              f"(need multiples of {POINTS_PER_ROW}: left pick, left place, "
+              "right pick, right place)")
+        clicks = clicks[:keep]
     rows = []
     h, w = mask.shape
     for i in range(0, len(clicks), POINTS_PER_ROW):

@@ -135,8 +135,10 @@ def test_annotate_actions_roundtrip(tmp_path):
         np.asarray(Image.open(groups[0][2])), merged)
     assert viz.shape == (size, size, 3) and (viz != 0).any()
 
-    with pytest.raises(ValueError):
-        aa.rows_from_clicks(clicks[:3], mask)
+    # stray trailing clicks are dropped with a warning, not a session abort
+    assert aa.rows_from_clicks(clicks[:3], mask).size == 0
+    assert len(aa.rows_from_clicks(clicks[:5], mask)) == len(
+        aa.rows_from_clicks(clicks[:4], mask))
 
     from bifold_tpu.data.real_dataset import RealDataset
 

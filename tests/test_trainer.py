@@ -229,3 +229,15 @@ def test_serving_depth_wire_f16_matches_f32(trained):
                                np.asarray(r32["pick_heatmap"]), atol=2e-3)
     assert float(np.abs(np.asarray(a16.pick, np.float64)
                         - np.asarray(a32.pick, np.float64)).max()) <= 1.0
+
+    # soft (anti-aliased) masks must round to nearest on the 1-byte wire,
+    # not floor: predict(soft) == predict(round(soft)) exactly
+    server = ServingModel.from_checkpoint(
+        str(trainer.ckpt_dir / "last.ckpt"), cfg)
+    soft = np.where(mask > 0, 0.7, 0.2).astype(np.float32)
+    _, r_soft = server.predict(rgb=rgb, depth=depth, mask=soft,
+                               instruction="fold", return_raw_output=True)
+    _, r_hard = server.predict(rgb=rgb, depth=depth, mask=np.round(soft),
+                               instruction="fold", return_raw_output=True)
+    np.testing.assert_array_equal(np.asarray(r_soft["pick_heatmap"]),
+                                  np.asarray(r_hard["pick_heatmap"]))
