@@ -91,8 +91,10 @@ def dot_product_attention(
         from bifold_tpu.ops.flash_attention import flash_attention
 
         # interpret mode lets CPU tests drive the REAL flash code path
-        # (incl. its SPMD partitioning) without a TPU
-        interpret = bool(os.environ.get("BIFOLD_FLASH_INTERPRET"))
+        # (incl. its SPMD partitioning) without a TPU; parsed as a flag so
+        # BIFOLD_FLASH_INTERPRET=0 on a real TPU stays on the compiled path
+        interpret = os.environ.get("BIFOLD_FLASH_INTERPRET", "").lower() \
+            not in ("", "0", "false")
         out = flash_attention(q, k, v, key_mask=key_mask, scale=scale,
                               interpret=interpret)
         return (out, None) if return_weights else out

@@ -48,7 +48,8 @@ _NEG = -100000.0  # matches the XLA backend / reference fill value
 
 
 def _pick_blocks(nq: int, nk: int, block_q: int, block_k: int,
-                 vmem_budget: int = 8 * 1024 * 1024):
+                 vmem_budget: int = 8 * 1024 * 1024,
+                 fixed_row_bytes: int = 0, n_score_tiles: int = 1):
     """Pow2 q blocks (<= block_q) + a single KV pass under a VMEM budget.
 
     Measured on v5e (tools/attn_bench.py, +-6% noise): 256-row q blocks are
@@ -57,14 +58,42 @@ def _pick_blocks(nq: int, nk: int, block_q: int, block_k: int,
     (n 576) 2.28 vs 2.40. Single-block padding-minimizing variants
     (576 -> 640 one block, 2373 -> 3x896) LOSE outright — grid steps must
     stay plentiful enough to pipeline. q blocks must be multiples of 128
-    (the lse output's trailing block dim)."""
+    (the lse output's trailing block dim).
+
+    ``fixed_row_bytes``: VMEM bytes resident per grid row regardless of
+    block_k (full-row K/V inputs, f32 dk/dv accumulators) — counted against
+    the budget before sizing the score tiles. ``n_score_tiles``: number of
+    live (block_q, block_k) f32 temporaries (1 fwd; s/p/dp/ds in bwd)."""
     block_q = min(block_q, max(128, 1 << (nq - 1).bit_length()))
     nk_pad128 = -(-nk // 128) * 128
-    if block_q * nk_pad128 * 4 <= vmem_budget:
+    budget = vmem_budget - fixed_row_bytes * nk_pad128
+    if budget > 0 and block_q * nk_pad128 * 4 * n_score_tiles <= budget:
         block_k = nk_pad128
     else:
         block_k = min(block_k, max(128, 1 << (nk - 1).bit_length()))
     return block_q, block_k
+
+
+# Both kernels keep full K/V rows (and, backward, f32 dk/dv accumulator
+# out-blocks) resident in VMEM for the whole grid row — block_k tiles the
+# in-kernel loop, not the residency. For sequences far beyond today's ~2.4k
+# that residency itself outgrows VMEM; fail with an explicit, actionable
+# error instead of a Mosaic OOM (ADVICE r2).
+_VMEM_RESIDENCY_CEILING = 96 * 1024 * 1024  # leave headroom of v5e's ~128 MB
+
+
+def _check_residency(nk_pad: int, d: int, in_itemsize: int, backward: bool):
+    row = 2 * nk_pad * d * in_itemsize  # K + V full-row inputs
+    if backward:
+        row += 2 * nk_pad * d * 4  # f32 dk/dv accumulator out-blocks
+    if row > _VMEM_RESIDENCY_CEILING:
+        raise ValueError(
+            f"flash_attention: sequence length {nk_pad} (d={d}) needs "
+            f"{row / 2 ** 20:.0f} MB of VMEM-resident K/V"
+            f"{'+dk/dv' if backward else ''} rows, over the "
+            f"{_VMEM_RESIDENCY_CEILING / 2 ** 20:.0f} MB ceiling — this "
+            "kernel keeps full K/V rows resident per (batch*head) grid row. "
+            "Use backend='xla' for sequences this long.")
 
 
 def _pad_to(x, axis, mult):
@@ -82,8 +111,8 @@ def _pad_to(x, axis, mult):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
-                scale, block_k, kv_len):
+def _online_softmax_loop(q_ref, k_ref, v_ref, mask_ref, scale, block_k,
+                         kv_len):
     q = q_ref[0].astype(jnp.float32) * scale  # (bq, d)
     bq, d = q.shape
     num_k = kv_len // block_k
@@ -107,10 +136,25 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
     acc0 = jnp.zeros((bq, d), jnp.float32)
     m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_k, body, (acc0, m0, l0))
+    return jax.lax.fori_loop(0, num_k, body, (acc0, m0, l0))
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
+                scale, block_k, kv_len):
+    acc, m, l = _online_softmax_loop(q_ref, k_ref, v_ref, mask_ref, scale,
+                                     block_k, kv_len)
     l_safe = jnp.maximum(l, 1e-30)
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
     lse_ref[0, 0] = (m + jnp.log(l_safe))[:, 0]
+
+
+def _fwd_kernel_infer(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+                      scale, block_k, kv_len):
+    """Inference-only forward: no lse output, so non-differentiated calls
+    (serving) skip its HBM write entirely (ADVICE r2)."""
+    acc, _, l = _online_softmax_loop(q_ref, k_ref, v_ref, mask_ref, scale,
+                                     block_k, kv_len)
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 def _xla_reference(q, k, v, key_mask, scale):
@@ -143,17 +187,32 @@ def _prepare(q, k, v, key_mask, block_q, block_k):
     return qb, kb, vb, maskb
 
 
-def _forward_with_lse(q, k, v, key_mask, scale, block_q, block_k, interpret):
+def _forward_with_lse(q, k, v, key_mask, scale, block_q, block_k, interpret,
+                      with_lse: bool = True):
     b, nq, h, d = q.shape
     nk = k.shape[1]
-    block_q, block_k = _pick_blocks(nq, nk, block_q, block_k)
+    block_q, block_k = _pick_blocks(
+        nq, nk, block_q, block_k,
+        fixed_row_bytes=2 * d * q.dtype.itemsize)
+    _check_residency(-(-nk // 128) * 128, d, q.dtype.itemsize, backward=False)
     qb, kb, vb, maskb = _prepare(q, k, v, key_mask, block_q, block_k)
     nq_pad, nk_pad = qb.shape[1], kb.shape[1]
     bh = qb.shape[0]
     grid = (bh, nq_pad // block_q)
 
-    out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, block_k=block_k,
+    out_specs = [pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype)]
+    if with_lse:
+        kernel = _fwd_kernel
+        out_specs.append(pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((bh, 1, nq_pad), jnp.float32))
+    else:
+        kernel = _fwd_kernel_infer
+
+    outs = pl.pallas_call(
+        functools.partial(kernel, scale=scale, block_k=block_k,
                           kv_len=nk_pad),
         grid=grid,
         in_specs=[
@@ -163,16 +222,11 @@ def _forward_with_lse(q, k, v, key_mask, scale, block_q, block_k, interpret):
             pl.BlockSpec((1, 1, nk_pad), lambda i, j, _h=h: (i // _h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, 1, nq_pad), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(qb, kb, vb, maskb)
+    out, lse = outs if with_lse else (outs[0], None)
     return out, lse, (block_q, block_k, nq_pad, nk_pad)
 
 
@@ -238,8 +292,12 @@ def _backward(q, k, v, key_mask, out, lse, g, scale, block_q, block_k,
     nk = k.shape[1]
     # smaller q blocks + budget than forward: the fused kernel keeps dk/dv
     # f32 accumulator blocks and four (block_q, block_k) temporaries resident
-    block_q, block_k = _pick_blocks(nq, nk, min(block_q, 512), block_k,
-                                    vmem_budget=4 * 1024 * 1024)
+    block_q, block_k = _pick_blocks(
+        nq, nk, min(block_q, 512), block_k,
+        vmem_budget=4 * 1024 * 1024,
+        fixed_row_bytes=2 * d * q.dtype.itemsize + 2 * d * 4,
+        n_score_tiles=4)
+    _check_residency(-(-nk // 128) * 128, d, q.dtype.itemsize, backward=True)
     qb, kb, vb, maskb = _prepare(q, k, v, key_mask, block_q, block_k)
     gb = _pad_to(g.transpose(0, 2, 1, 3).reshape(b * h, nq, d), 1, block_q)
     nq_pad, nk_pad = qb.shape[1], kb.shape[1]
@@ -317,6 +375,13 @@ def _fwd_impl(q, k, v, key_mask, scale, block_q, block_k, interpret):
     return out, lse[:, 0, :nq].reshape(b, h, nq)
 
 
+def _fwd_infer_impl(q, k, v, key_mask, scale, block_q, block_k, interpret):
+    out_bh, _, _ = _forward_with_lse(q, k, v, key_mask, scale, block_q,
+                                     block_k, interpret, with_lse=False)
+    b, nq, h, d = q.shape
+    return out_bh[:, :nq].reshape(b, h, nq, d).transpose(0, 2, 1, 3)
+
+
 def _bwd_impl(q, k, v, key_mask, out, lse_bhn, g, scale, block_q, block_k,
               interpret):
     b, nq, h, d = q.shape
@@ -326,13 +391,19 @@ def _bwd_impl(q, k, v, key_mask, out, lse_bhn, g, scale, block_q, block_k,
 
 
 def _bh_spec(arg_shapes):
-    """(batch_axes, head_axes) from q's sharding; everything else replicates."""
-    sharding = getattr(arg_shapes[0], "sharding", None)
-    spec = getattr(sharding, "spec", None)
-    if spec is None:
-        return None, None
-    spec = tuple(spec) + (None,) * (4 - len(tuple(spec)))
-    return spec[0], spec[2]
+    """(batch_axes, head_axes) from q's sharding, falling back to k then v
+    when q arrives replicated (ADVICE r2: q replicated + k/v sharded must not
+    silently force whole-kernel replication); everything else replicates."""
+    for i in (0, 1, 2):
+        sharding = getattr(arg_shapes[i], "sharding", None)
+        spec = getattr(sharding, "spec", None)
+        if spec is None:
+            continue
+        spec = tuple(spec) + (None,) * (4 - len(tuple(spec)))
+        bs, hs = spec[0], spec[2]
+        if bs is not None or hs is not None:
+            return bs, hs
+    return None, None
 
 
 def _make_partition(n_outs_specs):
@@ -342,15 +413,27 @@ def _make_partition(n_outs_specs):
     def partition(scale, block_q, block_k, interpret, mesh, arg_shapes,
                   result_shape):
         bs, hs = _bh_spec(arg_shapes)
+        if bs is None and hs is None and mesh.size > 1:
+            import warnings
+            warnings.warn(
+                "flash_attention under a multi-device mesh with q/k/v all "
+                "replicated over batch AND heads: the kernel will run fully "
+                "replicated on every device (no dp/tp split of attention). "
+                "Shard the batch or head axis of the inputs feeding it.",
+                stacklevel=2)
         qkv = NamedSharding(mesh, P(bs, None, hs, None))
         mask = NamedSharding(mesh, P(bs, None))
         by_name = {"qkv": qkv, "mask": mask,
                    "lse": NamedSharding(mesh, P(bs, hs, None))}
-        impl = _fwd_impl if n_outs_specs == ("qkv", "lse") else _bwd_impl
-        arg_names = (("qkv",) * 3 + ("mask",)) if impl is _fwd_impl else \
-            ("qkv",) * 3 + ("mask",) + ("qkv", "lse", "qkv")
+        impl = {("qkv", "lse"): _fwd_impl,
+                ("qkv",): _fwd_infer_impl}.get(n_outs_specs, _bwd_impl)
+        arg_names = ("qkv",) * 3 + ("mask",)
+        if impl is _bwd_impl:
+            arg_names += ("qkv", "lse", "qkv")
         arg_sh = tuple(by_name[n] for n in arg_names)
-        out_sh = tuple(by_name[n] for n in n_outs_specs)
+        # single-output impls return one array -> one Sharding, not a 1-tuple
+        out_sh = (by_name[n_outs_specs[0]] if len(n_outs_specs) == 1
+                  else tuple(by_name[n] for n in n_outs_specs))
 
         def lower_fn(*args):
             return impl(*args, scale, block_q, block_k, interpret)
@@ -366,6 +449,8 @@ def _make_infer(n_outs_specs):
         bs, hs = _bh_spec(arg_shapes)
         by_name = {"qkv": NamedSharding(mesh, P(bs, None, hs, None)),
                    "lse": NamedSharding(mesh, P(bs, hs, None))}
+        if len(n_outs_specs) == 1:
+            return by_name[n_outs_specs[0]]
         return tuple(by_name[n] for n in n_outs_specs)
 
     return infer
@@ -377,6 +462,14 @@ _fwd_cp.def_partition(
     infer_sharding_from_operands=_make_infer(("qkv", "lse")),
     sharding_rule="b n h d, b s h d, b s h d, b s -> b n h d, b h n",
     # shardy wants these listed in factor-index (first-appearance) order
+    need_replication_factors=("n", "d", "s"),
+)
+
+_fwd_infer_cp = custom_partitioning(_fwd_infer_impl, static_argnums=(4, 5, 6, 7))
+_fwd_infer_cp.def_partition(
+    _make_partition(("qkv",)),
+    infer_sharding_from_operands=_make_infer(("qkv",)),
+    sharding_rule="b n h d, b s h d, b s h d, b s -> b n h d",
     need_replication_factors=("n", "d", "s"),
 )
 
@@ -398,8 +491,9 @@ _bwd_cp.def_partition(
 @functools.partial(jax.custom_vjp,
                    nondiff_argnames=("scale", "block_q", "block_k", "interpret"))
 def _flash_with_vjp(q, k, v, key_mask, scale, block_q, block_k, interpret):
-    out, _ = _fwd_cp(q, k, v, key_mask, scale, block_q, block_k, interpret)
-    return out
+    # primal (non-differentiated) path: the lse-free kernel — inference
+    # calls never compute or write the (b, h, n) f32 logsumexp (ADVICE r2)
+    return _fwd_infer_cp(q, k, v, key_mask, scale, block_q, block_k, interpret)
 
 
 def _flash_fwd(q, k, v, key_mask, scale, block_q, block_k, interpret):
