@@ -107,7 +107,19 @@ def bench_train(batch: int, steps: int = 10, warmup: int = 2):
         state, metrics = step(state, device_batch)
     loss = float(metrics["loss"])  # block_until_ready alone can return early
     dt = (time.time() - t0) / steps  # over a tunneled runtime
-    return batch / dt, dt, loss
+
+    # XLA's own FLOP count for the compiled step -> MFU accounting
+    # (VERDICT r2: the "roofline-bound" claim must be checkable). lower()
+    # only traces/compiles — no execution, donation not triggered.
+    flops = None
+    try:
+        ca = step.lower(state, device_batch).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:  # noqa: BLE001 - cost analysis is best-effort
+        pass
+    return batch / dt, dt, loss, flops
 
 
 def bench_latency(image_size: int = 384, iters: int = 30):
@@ -158,6 +170,27 @@ def bench_latency(image_size: int = 384, iters: int = 30):
         times.append(time.time() - t0)
     p50 = float(np.median(times) * 1e3)
 
+    # MEASURED on-chip serve time (VERDICT r2 weak #1): trace N predicts,
+    # interval-merge the device plane's op events (no nested double-count)
+    # and divide — an actual device-busy measurement, not the null-program
+    # subtraction estimate (still reported alongside for the tunnel view).
+    onchip_ms = None
+    try:
+        import shutil
+        import sys as _sys
+        _sys.path.insert(0, str(ROOT / "tools"))
+        from xplane import device_busy_ms
+        prof_iters = 10
+        shutil.rmtree("/tmp/bench_serve_prof", ignore_errors=True)
+        jax.profiler.start_trace("/tmp/bench_serve_prof")
+        for _ in range(prof_iters):
+            server.predict(rgb=rgb, depth=depth, mask=mask,
+                           instruction=instruction)
+        jax.profiler.stop_trace()
+        onchip_ms = device_busy_ms("/tmp/bench_serve_prof") / prof_iters
+    except Exception:  # noqa: BLE001 - profiler is best-effort off-TPU
+        pass
+
     # tunnel floor: uploading the same observation bytes into a null program
     # and fetching a scalar — everything above this is on-chip serve compute
     n_bytes = rgb.size + mask.size + 2 * depth.size + 4 * 64
@@ -170,7 +203,7 @@ def bench_latency(image_size: int = 384, iters: int = 30):
         float(null(flat))
         floor.append(time.time() - t0)
     floor_ms = float(np.median(floor) * 1e3)
-    return p50, floor_ms, n_bytes
+    return p50, floor_ms, n_bytes, onchip_ms
 
 
 def main():
@@ -197,10 +230,10 @@ def main():
     # warm compile cache (no OOM-probe recompiles).
     import os
     batch = int(os.environ.get("BIFOLD_BENCH_BATCH", 2))
-    throughput = step_time = loss = None
+    throughput = step_time = loss = flops = None
     while batch >= 1:
         try:
-            throughput, step_time, loss = bench_train(batch)
+            throughput, step_time, loss, flops = bench_train(batch)
             break
         except Exception as e:  # noqa: BLE001 - retry smaller on OOM
             if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
@@ -210,9 +243,9 @@ def main():
     per_chip = throughput / n_chips
 
     try:
-        p50_ms, tunnel_floor_ms, obs_bytes = bench_latency()
+        p50_ms, tunnel_floor_ms, obs_bytes, onchip_measured_ms = bench_latency()
     except Exception:  # noqa: BLE001
-        p50_ms = tunnel_floor_ms = obs_bytes = None
+        p50_ms = tunnel_floor_ms = obs_bytes = onchip_measured_ms = None
 
     # the axon runtime tunnels to a remote chip: a trivial dispatch+readback
     # costs ~30 ms RTT, which dominates batch-1 latency measurements. Report
@@ -241,7 +274,20 @@ def main():
         "batch": batch,
         "step_time_s": round(step_time, 5),
         "loss": round(loss, 4),
+        # MFU vs the chip's bf16 matmul peak (v5e: 197 TFLOPS/chip). flops is
+        # XLA's count for the compiled step program (cost_analysis).
+        "flops_per_step": flops,
+        "tflops_sustained": (round(flops / step_time / 1e12, 2)
+                             if flops and step_time else None),
+        "mfu_bf16_peak": (round(flops / step_time / 197e12, 4)
+                          if flops and step_time
+                          and platform in ("tpu", "axon") else None),
         "batch1_p50_ms": round(p50_ms, 3) if p50_ms is not None else None,
+        # profiler-MEASURED device busy time per serve call (the BASELINE
+        # <20 ms target's accountable number; see CLAUDE.md serving notes)
+        "batch1_p50_onchip_measured_ms": (round(onchip_measured_ms, 3)
+                                          if onchip_measured_ms is not None
+                                          else None),
         "dispatch_rtt_ms": round(rtt_ms, 3) if rtt_ms is not None else None,
         # observation upload + dispatch + fetch of a null program on the same
         # bytes: the tunnel's floor for ANY serve call with this observation

@@ -39,6 +39,11 @@ def main(argv: list[str] | None = None) -> int:
         print("Groups: model, dataset@train_dataset, dataset@test_dataset, "
               "processor, loss, optim, scheduler")
         return 0
+    # multi-host / multi-slice: bring the multi-process runtime up before the
+    # first jax op (no-op without JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES);
+    # the loader and parallel.shard_batch then feed per-process shards
+    from bifold_tpu import parallel
+    parallel.distributed_init()
     cfg = compose(overrides)
     dirname = override_dirname(overrides)
     run_dir = Path(cfg["run_dir"]) / dirname

@@ -49,7 +49,9 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  seed: int = 0, drop_last: Optional[bool] = None,
-                 num_workers: int = 0, prefetch: int = 2):
+                 num_workers: int = 0, prefetch: int = 2,
+                 process_id: Optional[int] = None,
+                 process_count: Optional[int] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -58,6 +60,30 @@ class DataLoader:
         self.prefetch = max(1, prefetch)
         self._rng = np.random.default_rng(seed)
         self.processor = dataset.processor
+        # multi-process (multi-host) runs: every process iterates the SAME
+        # shuffled global order (seeded rng) but materializes only its
+        # contiguous slice of each global batch — the slice
+        # parallel.shard_batch assembles into the global array via
+        # make_array_from_process_local_data (dcn groups devices by process,
+        # so contiguous per-process chunks line up with the batch sharding).
+        if process_count is None:
+            try:
+                import jax
+                process_count = jax.process_count()
+                process_id = jax.process_index() if process_id is None else process_id
+            except Exception:  # noqa: BLE001 - jax-free usage stays valid
+                process_count, process_id = 1, 0
+        self.process_count = process_count
+        self.process_id = process_id or 0
+        if batch_size % self.process_count:
+            raise ValueError(
+                f"global batch_size {batch_size} must be divisible by "
+                f"process_count {self.process_count}")
+        self._local_bs = batch_size // self.process_count
+        if self.process_count > 1:
+            # ragged tails can't form equal per-process slices (the global
+            # array assembly needs identical local shapes on every process)
+            self.drop_last = True
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -71,7 +97,10 @@ class DataLoader:
             self._rng.shuffle(idx)
         nb = len(self)
         for b in range(nb):
-            yield idx[b * self.batch_size : (b + 1) * self.batch_size]
+            g = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            # this process's contiguous slice of the global batch
+            yield g[self.process_id * self._local_bs
+                    : (self.process_id + 1) * self._local_bs]
 
     def _make_batch(self, indices) -> Dict[str, Any]:
         records = [self.dataset[int(i)] for i in indices]

@@ -28,6 +28,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
+    "distributed_init",
     "make_mesh",
     "batch_sharding",
     "replicated",
@@ -35,8 +36,39 @@ __all__ = [
     "shard_batch",
     "make_train_step",
     "make_eval_step",
-    "cross_replica_mean",
 ]
+
+
+def distributed_init(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Initialize the multi-process JAX runtime (multi-host / multi-slice).
+
+    Call BEFORE the first jax array op. Explicit args win; otherwise standard
+    env vars (``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/
+    ``JAX_PROCESS_ID``, or a TPU pod's automatic configuration) are used.
+    Returns True when a multi-process runtime was (or already is) up; False
+    for plain single-process runs — callers need no further branching, the
+    rest of the stack keys off ``jax.process_count()``.
+    """
+    import os
+
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and num_processes is None:
+        return jax.process_count() > 1
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:  # already initialized: idempotent entry hook
+        if "already" not in str(e).lower():
+            raise
+    return True
 
 BATCH_AXES = ("dcn", "dp", "fsdp")  # batch shards over every data axis present
 
@@ -153,7 +185,14 @@ def param_sharding(mesh: Mesh, params: Any, min_size: int = 2**16) -> Any:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Device-put a host batch with the batch dim sharded over (dp, fsdp).
+    """Place a host batch with the batch dim sharded over (dcn, dp, fsdp).
+
+    Single-process: a plain sharded ``device_put`` of the full batch.
+    Multi-process (``jax.process_count() > 1``): each process passes only its
+    LOCAL slice of the global batch (its loader shard) and the global array is
+    assembled via ``jax.make_array_from_process_local_data`` — no process
+    ever materializes the global batch, and cross-process traffic happens
+    inside the compiled step's collectives, not at feed time.
 
     Non-array leaves (instruction strings, label_keys) pass through.
     """
@@ -161,9 +200,15 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     n_batch_shards = 1
     for a in _batch_axes(mesh):
         n_batch_shards *= mesh.shape[a]
+    n_proc = jax.process_count()
 
     def put(x):
         if isinstance(x, (np.ndarray, jax.Array)) and getattr(x, "ndim", 0) > 0:
+            if n_proc > 1:
+                # x is this process's local slice; global batch = local * the
+                # number of feeding processes (dcn groups devices by process)
+                return jax.make_array_from_process_local_data(
+                    sharding, np.asarray(x))
             if x.shape[0] % n_batch_shards:
                 raise ValueError(
                     f"Batch dim {x.shape[0]} must be divisible by the "
@@ -172,12 +217,6 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
             return jax.device_put(x, sharding)
         return x
     return jax.tree_util.tree_map(put, batch)
-
-
-def cross_replica_mean(tree: Any) -> Any:
-    """Mean over all batch shards — a no-op under jit (XLA already reduced
-    loss scalars from sharded inputs); kept for explicit pmap-style paths."""
-    return tree
 
 
 def make_train_step(model, loss_fn: Callable, tx, *,
