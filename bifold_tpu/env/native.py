@@ -50,14 +50,19 @@ class NativeSim:
             ctypes.c_int, ctypes.c_int, ctypes.c_float,      # substeps, iters, radius
             f32p, ctypes.c_float,                     # rest_positions(N,3), self_coll_dist
         ]
-        lib.bifold_render.restype = ctypes.c_int
-        lib.bifold_render.argtypes = [
+        lib.bifold_render_ex.restype = ctypes.c_int
+        lib.bifold_render_ex.argtypes = [
             f32p, ctypes.c_int64,                     # positions(N,4), N
             i64p, ctypes.c_int64,                     # faces(F,3), F
             f32p,                                     # colors(N,3)
             f32p,                                     # world->camera 4x4 row major
             ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,  # fx fy u0 v0
             ctypes.c_int, ctypes.c_int,               # width height
+            f32p,                                     # light_dir(3,) normalized
+            ctypes.c_float, ctypes.c_float,           # ambient, diffuse
+            ctypes.c_int,                             # smooth (0 flat, 1 smooth)
+            f32p, f32p,                               # uvs(N,2) / texture(TH,TW,3), NULL ok
+            ctypes.c_int, ctypes.c_int,               # tex_h, tex_w
             ctypes.POINTER(ctypes.c_uint8), f32p,     # out rgba, out depth
         ]
 
@@ -102,15 +107,29 @@ class NativeSim:
         colors = np.ascontiguousarray(sim.colors, np.float32)
         m = np.ascontiguousarray(sim._camera_matrix(), np.float32)
         k = intrinsic_from_fov(height, width, fov=45)
+        light = np.ascontiguousarray(sim.light_dir, np.float32)
+        smooth = int(getattr(sim, "shading", "flat") == "smooth")
+        uvs = tex = None
+        th = tw = 0
+        if sim.uvs is not None and sim.texture is not None:
+            uvs = np.ascontiguousarray(sim.uvs, np.float32)
+            tex = np.ascontiguousarray(sim.texture, np.float32)
+            th, tw = tex.shape[:2]
+        null_f32 = ctypes.POINTER(ctypes.c_float)()
         rgba = np.empty((height, width, 4), np.uint8)
         depth = np.empty((height, width), np.float32)
-        ok = self.lib.bifold_render(
+        ok = self.lib.bifold_render_ex(
             self._ptr(pos, ctypes.c_float), len(pos),
             self._ptr(faces, ctypes.c_int64), len(faces),
             self._ptr(colors, ctypes.c_float),
             self._ptr(m, ctypes.c_float),
             k[0, 0], k[1, 1], k[0, 2], k[1, 2],
             width, height,
+            self._ptr(light, ctypes.c_float),
+            float(sim.ambient), float(sim.diffuse), smooth,
+            self._ptr(uvs, ctypes.c_float) if uvs is not None else null_f32,
+            self._ptr(tex, ctypes.c_float) if tex is not None else null_f32,
+            th, tw,
             rgba.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             self._ptr(depth, ctypes.c_float))
         if ok != 0:

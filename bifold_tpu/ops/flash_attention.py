@@ -47,6 +47,22 @@ __all__ = ["flash_attention"]
 _NEG = -100000.0  # matches the XLA backend / reference fill value
 
 
+def _bf16_flags():
+    """Experiment levers (read at trace time; compile cache keys on the
+    resulting IR so variants never collide): cast matmul INPUTS to bf16 for
+    the d-contraction stage (s = q k^T, dp = do v^T) and/or the
+    block-contraction stage (p v, dv, dk, dq). Accumulation stays f32
+    (preferred_element_type) either way. Both measured SLOWER on v5e at the
+    flagship shapes (see module docstring + CLAUDE.md measurements) — these
+    exist so the A/B stays reproducible, not as production settings."""
+    import os
+
+    def flag(name):
+        return os.environ.get(name, "") not in ("", "0", "false")
+
+    return flag("BIFOLD_FLASH_BF16_D"), flag("BIFOLD_FLASH_BF16_BLOCK")
+
+
 def _pick_blocks(nq: int, nk: int, block_q: int, block_k: int,
                  vmem_budget: int = 8 * 1024 * 1024,
                  fixed_row_bytes: int = 0, n_score_tiles: int = 1):
@@ -113,14 +129,18 @@ def _pad_to(x, axis, mult):
 
 def _online_softmax_loop(q_ref, k_ref, v_ref, mask_ref, scale, block_k,
                          kv_len):
+    bf16_d, bf16_block = _bf16_flags()
     q = q_ref[0].astype(jnp.float32) * scale  # (bq, d)
+    if bf16_d:
+        q = q.astype(jnp.bfloat16)
     bq, d = q.shape
     num_k = kv_len // block_k
 
     def body(i, carry):
         acc, m, l = carry
-        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v = v_ref[0, pl.ds(i * block_k, block_k), :]
+        k = k.astype(jnp.bfloat16 if bf16_d else jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         kmask = mask_ref[0, 0, pl.ds(i * block_k, block_k)]
@@ -129,8 +149,10 @@ def _online_softmax_loop(q_ref, k_ref, v_ref, mask_ref, scale, block_k,
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = p.astype(jnp.bfloat16) if bf16_block else p
+        v = v.astype(jnp.bfloat16 if bf16_block else jnp.float32)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            pv, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         return acc_new, m_new, l_new
 
     acc0 = jnp.zeros((bq, d), jnp.float32)
@@ -253,6 +275,9 @@ def _dqkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
         dk_ref[...] = jnp.zeros_like(dk_ref)
         dv_ref[...] = jnp.zeros_like(dv_ref)
 
+    bf16_d, bf16_block = _bf16_flags()
+    f_d = jnp.bfloat16 if bf16_d else jnp.float32
+    f_blk = jnp.bfloat16 if bf16_block else jnp.float32
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
     lse = lse_ref[0, 0][:, None]      # (bq, 1)
@@ -265,22 +290,26 @@ def _dqkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
         k = k_ref[0, ks, :].astype(jnp.float32)
         v = v_ref[0, ks, :].astype(jnp.float32)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
+            q.astype(f_d), k.astype(f_d), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale       # (bq, bk)
         kmask = mask_ref[0, 0, ks]
         s = jnp.where(kmask[None, :] == 0, _NEG, s)
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            do.astype(f_d), v.astype(f_d), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
         ds = p * (dp - delta) * scale                         # (bq, bk)
         # dk/dv output blocks are float32 so the cross-step accumulation
         # never rounds through bfloat16
         dv_ref[0, ks, :] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            p.astype(f_blk), do.astype(f_blk), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         dk_ref[0, ks, :] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            ds.astype(f_blk), q.astype(f_blk), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         return dq + jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            ds.astype(f_blk), k.astype(f_blk), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     dq = jax.lax.fori_loop(0, num_k, body, jnp.zeros((bq, d), jnp.float32))
     dq_ref[0] = dq.astype(dq_ref.dtype)
