@@ -23,6 +23,15 @@ inputs on v5e than bf16 (bf16 second-stage inputs re-measured 2026-08:
 +10% step time — cast/relayout costs exceed the MXU-rate gain at these
 shapes). Accumulation is always float32.
 
+Round-3 re-measurement via the ``BIFOLD_FLASH_BF16_{D,BLOCK}`` levers
+(in-kernel casts, f32 accumulate; tools/attn_bench.py, ±6% noise):
+bf16 d-stage (s = q k^T, dp = do v^T): fusion fwd −12%, fwd+bwd −3.6%,
+vision +1.7% → net ≈ −1% step, within noise. bf16 block-stage
+(pv/dv/dk/dq): fusion +2.6%, vision +14% fwd+bwd. Both: worse than either.
+VERDICT: rejected again — at d=48/64 these matmuls are layout/bandwidth
+limited, not MXU-pass limited, so halving input width buys ~nothing and
+the cast/relayout overhead shows. All in-kernel matmuls stay f32.
+
 Layout in: (B, N, H, Dh); internally (B*H, N, Dh). Padding to block multiples
 is handled here (padded keys get key_mask 0; padded queries are sliced off;
 padded-key lse rows are benign because their probabilities are masked).

@@ -46,14 +46,31 @@ def look_at_matrix(cam_pos: np.ndarray, target: np.ndarray) -> np.ndarray:
 
 
 def render_frame(verts: np.ndarray, faces: np.ndarray, w2c: np.ndarray,
-                 image_size: int):
+                 image_size: int, uvs=None, texture=None):
     sim = ClothSim()
     sim.set_cloth(verts, faces, dedup=False)
     sim.camera_params = dict(sim.camera_params)
+    if uvs is not None and texture is not None:
+        sim.uvs, sim.texture = uvs, texture
     # bypass the angle-based camera: rasterize with the explicit matrix
     sim._camera_matrix = lambda: w2c  # type: ignore[method-assign]
     rgba, depth = sim.render(image_size, image_size)
     return rgba[:, :, :3], depth
+
+
+def load_frame_uvs(obj_path: Path, n_verts: int):
+    """Per-vertex UVs from a create_textured_objs output .obj: obj vt rows
+    are indexed per face corner; the corner-to-vertex assignment (last write
+    wins) matches the rasterizer's per-vertex sampling."""
+    from create_textured_objs import read_obj_with_uv
+
+    _, uvs, faces, face_uvs, _ = read_obj_with_uv(obj_path)
+    per_vertex = np.zeros((n_verts, 2), np.float32)
+    for f, fu in zip(faces, face_uvs):
+        for vi, ui in zip(f, fu):
+            if vi < n_verts and ui < len(uvs):
+                per_vertex[vi] = uvs[ui]
+    return per_vertex
 
 
 def visible_vertices(verts: np.ndarray, depth: np.ndarray, w2c: np.ndarray,
@@ -79,7 +96,18 @@ def main() -> None:
     ap.add_argument("--n-context", type=int, default=3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cam-distance", type=float, default=1.5)
+    ap.add_argument("--textured-objs", default=None,
+                    help="dir of create_textured_objs outputs (<frame>.obj); "
+                         "when a frame has one, its UVs drive texture "
+                         "sampling in the rasterizer")
+    ap.add_argument("--texture-image", default=None,
+                    help="texture image sampled via the .obj UVs")
     args = ap.parse_args()
+
+    texture = None
+    if args.texture_image:
+        texture = (np.asarray(Image.open(args.texture_image).convert("RGB"),
+                              np.float32) / 255.0)
 
     rng = np.random.default_rng(args.seed)
     root = Path(args.dataset)
@@ -116,7 +144,13 @@ def main() -> None:
                 mesh = samples[frame]["mesh"]
                 verts = np.asarray(mesh["cloth_verts"])
                 faces = np.asarray(mesh["cloth_faces_tri"])
-                rgb, depth = render_frame(verts, faces, w2c, s)
+                uvs = None
+                if args.textured_objs and texture is not None:
+                    obj_path = Path(args.textured_objs) / f"{frame}.obj"
+                    if obj_path.exists():
+                        uvs = load_frame_uvs(obj_path, len(verts))
+                rgb, depth = render_frame(verts, faces, w2c, s,
+                                          uvs=uvs, texture=texture)
                 Image.fromarray(rgb).save(out / "colors" / f"{frame}.png")
                 depth_mm = np.clip(depth * 1000, 0, 65535).astype(np.uint16)
                 Image.fromarray(depth_mm).save(out / "depth" / f"{frame}.png")

@@ -114,6 +114,40 @@ def test_flash_backward_matches_xla_reference():
         assert float(jnp.abs(a - b_).max()) < 1e-4
 
 
+@pytest.mark.parametrize("flag", ["BIFOLD_FLASH_BF16_D",
+                                  "BIFOLD_FLASH_BF16_BLOCK"])
+def test_flash_bf16_experiment_flags_stay_close(flag, monkeypatch):
+    """The measured-and-rejected bf16 matmul-input experiment levers still
+    produce CORRECT attention (bf16 inputs, f32 accumulate) — within bf16
+    input-rounding tolerance of the f32 reference, fwd and bwd."""
+    import jax
+    import jax.numpy as jnp
+
+    from bifold_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(1)
+    b, n, h, d = 1, 200, 2, 48
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    mask = jnp.asarray(rng.integers(0, 2, (b, n)).astype(np.int32)).at[:, :4].set(1)
+
+    def loss(*a):
+        return (fa.flash_attention(*a, mask, interpret=True) ** 2).sum()
+
+    out_ref = fa.flash_attention(q, k, v, key_mask=mask, interpret=True)
+    g_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    monkeypatch.setenv(flag, "1")
+    out = fa.flash_attention(q, k, v, key_mask=mask, interpret=True)
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    assert float(jnp.abs(out - out_ref).max()) < 5e-2
+    scale = max(float(jnp.abs(gr).max()) for gr in g_ref)
+    for a, r in zip(g, g_ref):
+        assert float(jnp.abs(a - r).max()) < 5e-2 * scale
+
+
 def test_flash_partitions_over_batch_and_heads():
     """Under a sharded jit the flash custom-call must partition over (b, h)
     — not be replicated (XLA's default for opaque custom-calls, which would

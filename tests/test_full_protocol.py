@@ -65,7 +65,7 @@ def test_all_tasks_all_regimes(cache_dir):
         for regime in ("si", "usi", "ut"):
             assert f"{task} {regime}" in summary, (task, regime)
             assert np.isfinite(summary[f"error {task} {regime}"])
-            assert 0.0 <= summary[f"iou {task} {regime}"] <= 1.0
+            assert 0.0 <= summary[f"iou {task} {regime}"] <= 100.0
         # and the MODEL path (not just the oracle) actually ran
         assert calls["by_task"].get(task, 0) > 0, (task, calls)
     assert "average_success" in summary

@@ -60,6 +60,34 @@ def test_render_views_pipeline(tmp_path, monkeypatch):
     vis = render_views.visible_vertices(verts, depth / 1000.0, w2c, k, tol=0.05)
     assert vis.any()
 
+    # textured re-render: a create_textured_objs-style .obj + texture image
+    # drive UV sampling in the rasterizer (same layout, different colors)
+    tex_path = tmp_path / "tex.png"
+    tex = np.zeros((8, 8, 3), np.uint8)
+    tex[:, :4] = (255, 0, 0)
+    tex[:, 4:] = (0, 0, 255)
+    Image.fromarray(tex).save(tex_path)
+    objs = tmp_path / "objs"
+    objs.mkdir()
+    obj_lines = ["v -0.3 0.0 -0.3", "v 0.3 0.0 -0.3",
+                 "v -0.3 0.0 0.3", "v 0.3 0.0 0.3",
+                 "vt 0.1 0.5", "vt 0.9 0.5", "vt 0.1 0.5", "vt 0.9 0.5",
+                 "f 1/1 2/2 3/3", "f 2/2 4/4 3/3"]
+    (objs / "00001_Tshirt_000000_000000.obj").write_text(
+        "\n".join(obj_lines) + "\n")
+    monkeypatch.setattr(sys, "argv", [
+        "render_views", "--dataset", str(root), "--image-size", "96",
+        "--seed", "0", "--textured-objs", str(objs),
+        "--texture-image", str(tex_path)])
+    render_views.main()
+    rgb_tex = np.array(Image.open(
+        renders / "colors" / "00001_Tshirt_000000_000000.png"))
+    cloth = depth < 1900
+    px = rgb_tex[cloth].astype(int)
+    # both texture tones land on the cloth, and the frame changed
+    assert (px[:, 0] > px[:, 2]).any() and (px[:, 2] > px[:, 0]).any()
+    assert not np.array_equal(rgb_tex, rgb)
+
 
 def test_crop_tool(tmp_path):
     sys.path.insert(0, "scripts")
