@@ -90,19 +90,14 @@ def _flagship(batch: int, image_size: int = 384, context: int = 3):
     opt_state = tx.init(params)
     step = parallel.make_train_step(model, loss_fn, tx, donate=True,
                                     trainable=mask)
-
-    def make_step():  # fresh jit cache entry (backend env is read at trace)
-        return parallel.make_train_step(model, loss_fn, tx, donate=True,
-                                        trainable=mask)
-
-    return model, proc, raw, device_batch, params, opt_state, step, make_step
+    return model, proc, raw, device_batch, params, opt_state, step
 
 
 def bench_train(batch: int, steps: int = 10, warmup: int = 2):
     import jax
 
     (model, proc, raw, device_batch, params, opt_state,
-     step, make_step) = _flagship(batch)
+     step) = _flagship(batch)
     state = (params, opt_state, {}, jax.random.key(0))
     for i in range(warmup):
         state, metrics = step(state, device_batch)
@@ -126,21 +121,25 @@ def bench_train(batch: int, steps: int = 10, warmup: int = 2):
             return None
 
     flops = count_flops(step)
-    # the flash kernels are opaque custom-calls XLA counts as 0 flops; the
-    # SAME step compiled (never run) with XLA attention gives the canonical
-    # architecture FLOPs (BENCH_NOTES.md). Compile-only, hits the cache on
-    # repeat runs.
-    import os
-    saved = os.environ.get("BIFOLD_ATTN_BACKEND")
-    os.environ["BIFOLD_ATTN_BACKEND"] = "xla"
-    try:
-        flops_xla = count_flops(make_step())
-    finally:
-        if saved is None:
-            os.environ.pop("BIFOLD_ATTN_BACKEND", None)
-        else:
-            os.environ["BIFOLD_ATTN_BACKEND"] = saved
-    return batch / dt, dt, loss, flops, flops_xla
+    # the flash kernels are opaque custom-calls XLA counts as 0 flops; add
+    # their architecture FLOPs analytically (unpadded shapes, 2 flops/MAC;
+    # fwd = qk + pv, fused bwd = s-recompute + dp + dv + dk + dq = 5
+    # matmuls). The flagship's attention sites: depth-8 fusion over the
+    # [text 64 | (ctx+1)x577] sequence at h=16 d=48, and 12 tower layers
+    # over (ctx+1)*batch frames of 577 tokens at h=12 d=64 (text tower runs
+    # the XLA path and is already inside `flops`). Definitions in
+    # BENCH_NOTES.md. (Compiling the XLA-attention variant for comparison
+    # dies in the remote compiler at these shapes — the materialized
+    # (b, h, 2373, 2373) scores are exactly what flash exists to avoid.)
+    def attn_flops(b, h, n, d, layers):
+        return 14 * b * h * n * n * d * layers
+
+    context = 3
+    # fusion sequence = 65 text-side tokens + (ctx+1) frames x 577 patches
+    flops_flash = (attn_flops(batch, 16, 65 + (context + 1) * 577, 48, 8)
+                   + attn_flops(batch * (context + 1), 12, 577, 64, 12))
+    flops_total = (flops + flops_flash) if flops else None
+    return batch / dt, dt, loss, flops, flops_total
 
 
 def bench_latency(image_size: int = 384, iters: int = 30):
@@ -251,10 +250,10 @@ def main():
     # warm compile cache (no OOM-probe recompiles).
     import os
     batch = int(os.environ.get("BIFOLD_BENCH_BATCH", 2))
-    throughput = step_time = loss = flops = flops_xla = None
+    throughput = step_time = loss = flops = flops_total = None
     while batch >= 1:
         try:
-            throughput, step_time, loss, flops, flops_xla = bench_train(batch)
+            throughput, step_time, loss, flops, flops_total = bench_train(batch)
             break
         except Exception as e:  # noqa: BLE001 - retry smaller on OOM
             if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
@@ -295,15 +294,15 @@ def main():
         "batch": batch,
         "step_time_s": round(step_time, 5),
         "loss": round(loss, 4),
-        # MFU vs the chip's bf16 matmul peak (v5e: 197 TFLOPS/chip), from the
-        # XLA-attention FLOP count (flash custom-calls are opaque to
-        # cost_analysis — definitions in BENCH_NOTES.md)
+        # MFU vs the chip's bf16 matmul peak (v5e: 197 TFLOPS/chip), from
+        # XLA's count plus the analytic flash-attention FLOPs (the custom-
+        # calls are opaque to cost_analysis — definitions in BENCH_NOTES.md)
         "flops_per_step": flops,
-        "flops_per_step_xla_attn": flops_xla,
-        "tflops_sustained": (round((flops_xla or flops) / step_time / 1e12, 2)
-                             if (flops_xla or flops) and step_time else None),
-        "mfu_bf16_peak": (round((flops_xla or flops) / step_time / 197e12, 4)
-                          if (flops_xla or flops) and step_time
+        "flops_per_step_with_attention": flops_total,
+        "tflops_sustained": (round((flops_total or flops) / step_time / 1e12, 2)
+                             if (flops_total or flops) and step_time else None),
+        "mfu_bf16_peak": (round((flops_total or flops) / step_time / 197e12, 4)
+                          if (flops_total or flops) and step_time
                           and platform in ("tpu", "axon") else None),
         "batch1_p50_ms": round(p50_ms, 3) if p50_ms is not None else None,
         # profiler-MEASURED device busy time per serve call (the BASELINE

@@ -32,7 +32,7 @@ def main():
     import bench
 
     (model, proc, raw, device_batch, params, opt_state,
-     step, _make_step) = bench._flagship(batch=2)
+     step) = bench._flagship(batch=2)
     state = (params, opt_state, {}, jax.random.key(0))
     for _ in range(2):
         state, metrics = step(state, device_batch)
