@@ -357,12 +357,19 @@ class Transformer(nn.Module):
     @nn.compact
     def __call__(self, x, key_mask=None, *, legacy_query_mask=None, deterministic=True):
         if self.scan_layers and self.depth > 1:
+            # experiment lever (read at trace time): unroll the scanned loop
+            # while keeping the stacked param layout/checkpoint format.
+            # unroll=depth removes the while-loop carries/DUS at the cost of
+            # a depth-times-larger program
+            import os
+            unroll = int(os.environ.get("BIFOLD_SCAN_UNROLL", "1"))
             scan = nn.scan(
                 _ScanBody,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 length=self.depth,
                 in_axes=(nn.broadcast, nn.broadcast),
+                unroll=max(1, min(unroll, self.depth)),
             )
             x, _ = scan(block_kwargs=tuple(self._block_kwargs().items()),
                         remat=self.remat, deterministic=bool(deterministic),

@@ -241,3 +241,58 @@ def test_serving_depth_wire_f16_matches_f32(trained):
                                instruction="fold", return_raw_output=True)
     np.testing.assert_array_equal(np.asarray(r_soft["pick_heatmap"]),
                                   np.asarray(r_hard["pick_heatmap"]))
+
+
+def test_serving_precast_params_identical():
+    """cast_params pre-casts big f32 leaves to the model's compute dtype at
+    init; since the forward casts them per use anyway, heatmaps must be
+    IDENTICAL — the pre-cast only removes per-call weight converts
+    (~1.5 ms of the measured 6.5 ms on-chip serve time at flagship scale)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bifold_tpu.data.processor import Processor
+    from bifold_tpu.models import build_model
+    from bifold_tpu.serving import ServingModel
+
+    model = build_model({
+        "name": "siglip", "image_size": 64, "is_bimanual": False,
+        "patch_size": 16, "automodel_name": "tiny", "dim": 64,
+        "lora": False, "depth": 2, "heads": 4,
+    }, dtype=jnp.bfloat16)
+    proc = Processor(
+        {"model_image_size": 64, "text_encoder": None, "sigma": 3,
+         "requires_graph": False, "spatial_augment": False, "strategy": "gmm",
+         "mask_depth": True, "standardize_depth": False},
+        partition="test", autoprocessor_name="siglip")
+    rng = np.random.default_rng(0)
+    init_sample = {
+        "rgb": np.asarray(rng.standard_normal((1, 3, 64, 64)), np.float32),
+        "instruction": np.asarray(rng.integers(0, 30000, (1, 64)), np.int32),
+        "mask": np.asarray(rng.random((1, 1, 64, 64)) > 0.5, np.float32),
+    }
+    import jax.numpy as jnp
+    variables = jax.jit(lambda k: model.init(
+        k, {k2: jnp.asarray(v) for k2, v in init_sample.items()},
+        deterministic=True))(jax.random.key(0))
+
+    rgb = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    depth = rng.random((64, 64)).astype(np.float32)
+    mask = (rng.random((64, 64)) > 0.5).astype(np.float32)
+    outs = {}
+    for cast in (False, True):
+        server = ServingModel(model, variables, proc, threshold=0.01,
+                              cast_params=cast)
+        outs[cast] = server.predict(rgb=rgb, depth=depth, mask=mask,
+                                    instruction="fold it",
+                                    return_raw_output=True)
+    (a0, r0), (a1, r1) = outs[False], outs[True]
+    np.testing.assert_array_equal(np.asarray(r0["pick_heatmap"]),
+                                  np.asarray(r1["pick_heatmap"]))
+    np.testing.assert_array_equal(np.asarray(a0.pick), np.asarray(a1.pick))
+    # the cast actually happened on the big leaves
+    big = [l for l in jax.tree_util.tree_leaves(
+        ServingModel(model, variables, proc, threshold=0.01).variables)
+        if hasattr(l, "size") and l.size >= 2 ** 16]
+    assert big and all(l.dtype == jnp.bfloat16 for l in big
+                       if jnp.issubdtype(l.dtype, jnp.floating))
