@@ -357,19 +357,28 @@ class Transformer(nn.Module):
     @nn.compact
     def __call__(self, x, key_mask=None, *, legacy_query_mask=None, deterministic=True):
         if self.scan_layers and self.depth > 1:
-            # experiment lever (read at trace time): unroll the scanned loop
-            # while keeping the stacked param layout/checkpoint format.
-            # unroll=depth removes the while-loop carries/DUS at the cost of
-            # a depth-times-larger program
+            # Unroll policy (BIFOLD_SCAN_UNROLL overrides; read at trace
+            # time). The stacked param layout / checkpoint format is
+            # IDENTICAL either way — unroll is lax.scan codegen only.
+            # Measured on v5e (BENCH_NOTES r3): FULL unroll takes the
+            # flagship step 89.3 -> 83.2 ms (loop carries + stacked-slice
+            # DUS overhead gone), while PARTIAL unroll pessimizes badly
+            # (107 ms at 4-of-8). On CPU (the test suite's 1-core host)
+            # the rolled loop keeps compile times depth-fold smaller.
             import os
-            unroll = int(os.environ.get("BIFOLD_SCAN_UNROLL", "1"))
+            env = os.environ.get("BIFOLD_SCAN_UNROLL")
+            if env:
+                unroll = max(1, min(int(env), self.depth))
+            else:
+                on_tpu = jax.default_backend() in ("tpu", "axon")
+                unroll = self.depth if on_tpu else 1
             scan = nn.scan(
                 _ScanBody,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "dropout": True},
                 length=self.depth,
                 in_axes=(nn.broadcast, nn.broadcast),
-                unroll=max(1, min(unroll, self.depth)),
+                unroll=unroll,
             )
             x, _ = scan(block_kwargs=tuple(self._block_kwargs().items()),
                         remat=self.remat, deterministic=bool(deterministic),
