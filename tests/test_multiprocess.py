@@ -120,3 +120,16 @@ def test_loader_process_slices_partition_global_batch():
 
     with pytest.raises(ValueError, match="divisible"):
         DataLoader(_DS(), batch_size=3, process_count=2, process_id=0)
+
+
+def test_distributed_init_noop_without_coordinator(monkeypatch):
+    """Single-process (no coordinator configured): a documented no-op
+    returning False — the CLI entry hook must never disturb plain runs.
+    (The real multi-process initialize path is covered by the worker
+    subprocesses above.)"""
+    from bifold_tpu import parallel
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    assert parallel.distributed_init() is False
