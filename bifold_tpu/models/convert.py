@@ -11,7 +11,12 @@ graft into a model's params, and save. Supports:
 - SigLIP (HF ``SiglipModel`` naming) -> ``siglip_model`` subtree, with or
   without LoRA-wrapped q/v (base kernels land under ``.../q_proj/base``);
 - CLIP in both HF (``CLIPModel``) and OpenAI (``visual.conv1...``) naming ->
-  ``clip_encoder`` subtree.
+  ``clip_encoder`` subtree;
+- FULL reference-model checkpoints (``convert_bifold``) for every family:
+  SigLip / SiglipSequential AND RGBOnly (rgb_clip); ``convert_text_unet``
+  for TextConditionedUNet incl. its BatchNorm running stats. Each is
+  parity-tested end-to-end against the reference's own torch code
+  (tests/test_reference_parity.py).
 
 CLI: python -m bifold_tpu.models.convert --checkpoint <path> \
     --arch siglip --out params.ckpt
@@ -22,12 +27,12 @@ tests/test_convert.py (BASELINE.md fidelity gate: <= 1e-2; achieved ~1e-5).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict
+from typing import Any, Dict, Tuple
 
 import numpy as np
 
 __all__ = ["convert_siglip", "convert_clip", "convert_bifold",
-           "load_state_dict", "graft"]
+           "convert_text_unet", "load_state_dict", "graft"]
 
 
 def _np(t) -> np.ndarray:
@@ -230,14 +235,132 @@ def _max_index(keys, pattern: str) -> int:
     return max(hits) + 1 if hits else 0
 
 
+def _conv2d(sd: Dict, prefix: str, bias: bool = True) -> Dict[str, np.ndarray]:
+    """torch Conv2d (out, in, kh, kw) -> flax HWIO kernel."""
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0)}
+    if bias and f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _bn(sd: Dict, prefix: str) -> Dict[str, np.ndarray]:
+    return {"scale": _np(sd[f"{prefix}.weight"]),
+            "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _bn_stats(sd: Dict, prefix: str) -> Dict[str, np.ndarray]:
+    return {"mean": _np(sd[f"{prefix}.running_mean"]),
+            "var": _np(sd[f"{prefix}.running_var"])}
+
+
+def convert_text_unet(sd: Dict, *, scan_layers: bool = True
+                      ) -> Tuple[Dict, Dict]:
+    """Reference TextConditionedUNet state dict (text_unet.py:47-140) ->
+    (params, batch_stats) for our ``text_unet``.
+
+    Covers the CLIP-text conditioning tower (text side only — the visual
+    tower, ResNet for RN50, is never used by this model), the double-conv
+    encoder blocks, the FiLM decoder blocks (ConvTranspose + convs + BN +
+    FiLM), and the 1x1 head convs. BatchNorm running stats return as a
+    separate ``batch_stats`` collection tree.
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    clip_sd = {k.removeprefix("clip_encoder."): v for k, v in sd.items()
+               if k.startswith("clip_encoder.")}
+    if clip_sd:
+        t_layers = _max_index(
+            [k for k in clip_sd if k.startswith("transformer.")],
+            r"resblocks\.")
+        full = _convert_clip_openai_text(clip_sd, t_layers, scan_layers)
+        params["clip_encoder"] = full
+
+    n_enc = _max_index(sd, r"^encoder\.")
+    for i in range(n_enc):
+        for j, (conv_slot, bn_slot) in enumerate(((0, 1), (3, 4))):
+            params[f"enc{i}_conv{j}"] = _conv2d(
+                sd, f"encoder.{i}.{conv_slot}", bias=False)
+            params[f"enc{i}_bn{j}"] = _bn(sd, f"encoder.{i}.{bn_slot}")
+            stats[f"enc{i}_bn{j}"] = _bn_stats(sd, f"encoder.{i}.{bn_slot}")
+
+    n_dec = _max_index(sd, r"^decoder\.")
+    for i in range(n_dec):
+        p = f"decoder.{i}"
+        # torch ConvTranspose2d weight (in, out, kh, kw); flax ConvTranspose
+        # (transpose_kernel=False) wants (kh, kw, in, out) with the SPATIAL
+        # TAPS FLIPPED relative to torch's gradient-of-conv semantics
+        w = _np(sd[f"{p}.convt.weight"]).transpose(2, 3, 0, 1)[::-1, ::-1]
+        blk = {
+            "convt": {"kernel": np.ascontiguousarray(w),
+                      "bias": _np(sd[f"{p}.convt.bias"])},
+            "conv1": _conv2d(sd, f"{p}.conv1"),
+            "bn1": _bn(sd, f"{p}.bn1"),
+            "conv2": _conv2d(sd, f"{p}.conv2"),
+            "bn2": _bn(sd, f"{p}.bn2"),
+            "film_conv": _conv2d(sd, f"{p}.film.conv"),
+            "film_gamma": _linear(sd, f"{p}.film.gamma"),
+            "film_beta": _linear(sd, f"{p}.film.beta"),
+        }
+        params[f"dec{i}"] = blk
+        stats[f"dec{i}"] = {"bn1": _bn_stats(sd, f"{p}.bn1"),
+                            "bn2": _bn_stats(sd, f"{p}.bn2")}
+
+    for head in ("pick_decoder", "place_decoder", "left_pick_decoder",
+                 "right_pick_decoder", "left_place_decoder",
+                 "right_place_decoder"):
+        k0 = f"{head}.weight"
+        if k0 in sd:
+            w = _np(sd[k0])  # (1, f, 1, 1) 1x1 conv -> Dense (f, 1)
+            params[head] = {"kernel": w[:, :, 0, 0].T,
+                            "bias": _np(sd[f"{head}.bias"])}
+    return params, stats
+
+
+def _convert_clip_openai_text(sd: Dict, text_layers: int,
+                              scan_layers: bool = True) -> Dict:
+    """Text side only of the OpenAI-naming converter (for models whose
+    visual tower is absent or non-ViT, e.g. text_unet's RN50)."""
+    full_sd = {k: v for k, v in sd.items() if not k.startswith("visual.")}
+    out: Dict[str, Any] = {"text": {}}
+    txt = out["text"]
+    txt["token_embedding"] = {"embedding": _np(full_sd["token_embedding.weight"])}
+    txt["positional_embedding"] = _np(full_sd["positional_embedding"])
+    txt["ln_final"] = _ln(full_sd, "ln_final")
+    if "text_projection" in full_sd:
+        txt["text_projection"] = _np(full_sd["text_projection"])
+    blocks = []
+    for i in range(text_layers):
+        p = f"transformer.resblocks.{i}"
+        w = _np(full_sd[f"{p}.attn.in_proj_weight"])
+        b = _np(full_sd[f"{p}.attn.in_proj_bias"])
+        d = w.shape[0] // 3
+        attn = {}
+        for j, proj in enumerate(("q_proj", "k_proj", "v_proj")):
+            attn[proj] = {"kernel": w[j * d:(j + 1) * d].T,
+                          "bias": b[j * d:(j + 1) * d]}
+        attn["out_proj"] = _linear(full_sd, f"{p}.attn.out_proj")
+        blocks.append({
+            "norm1": _ln(full_sd, f"{p}.ln_1"),
+            "norm2": _ln(full_sd, f"{p}.ln_2"),
+            "attn": attn,
+            "mlp": {"fc1": _linear(full_sd, f"{p}.mlp.c_fc"),
+                    "fc2": _linear(full_sd, f"{p}.mlp.c_proj")},
+        })
+    txt["transformer"] = _stack_blocks(blocks, scan_layers)
+    return out
+
+
 def convert_bifold(sd: Dict, *, scan_layers: bool = True) -> Dict:
     """Full reference-model state dict -> our full params tree.
 
     Handles the complete SigLip / SiglipSequential graph of
-    /root/reference/bifold/models/siglip.py: the (optionally peft-LoRA-
+    /root/reference/bifold/models/siglip.py — the (optionally peft-LoRA-
     wrapped) SigLIP towers, learned text/image modality tokens, context
-    position embeddings, the ConcatTransformer fusion
-    (fusion.py:8-64 / transformer.py) and the per-head ConvDecoders
+    position embeddings — AND the RGBOnly graph of rgb_clip.py:9-80 (the
+    frozen vendored-CLIP encoder, vision->text projection, learned rgb/text
+    position embeddings), plus the shared ConcatTransformer fusion
+    (fusion.py:8-64 / transformer.py) and per-head ConvDecoders
     (modules.py:33-74, pickplace.py:10-124). Layer counts, LoRA presence and
     rank, bimanual-ness and mask head are all inferred from the keys, so the
     same call ingests the reference's published fine-tuned ``.pth``
@@ -266,8 +389,25 @@ def convert_bifold(sd: Dict, *, scan_layers: bool = True) -> Dict:
             tower_sd, layers=layers, lora=lora, lora_rank=rank,
             scan_layers=scan_layers, lora_values=(lora_a, lora_b))
 
-    # ---- modality tokens + context position embedding ----
-    for name in ("text_token", "image_token", "context_pos_embedding"):
+    # ---- rgb_clip (reference rgb_clip.py:9-80): frozen vendored-CLIP
+    # encoder + vision->text projection + learned position embeddings ----
+    clip_sd = {k.removeprefix("clip_encoder."): v for k, v in sd.items()
+               if k.startswith("clip_encoder.")}
+    if clip_sd:
+        v_layers = _max_index(
+            [k for k in clip_sd if k.startswith("visual.")], r"resblocks\.")
+        t_layers = _max_index(
+            [k for k in clip_sd if k.startswith("transformer.")],
+            r"resblocks\.")
+        out["clip_encoder"] = convert_clip(
+            clip_sd, vision_layers=v_layers, text_layers=t_layers,
+            scan_layers=scan_layers)
+    if "project.weight" in sd:
+        out["project"] = _linear(sd, "project")
+
+    # ---- modality tokens + learned position embeddings ----
+    for name in ("text_token", "image_token", "context_pos_embedding",
+                 "rgb_pos_embedding", "text_pos_embedding"):
         if name in sd:
             out[name] = _np(sd[name])
 
