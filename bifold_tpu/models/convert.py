@@ -520,7 +520,9 @@ def main() -> None:
                     required=True,
                     help="siglip/clip: a pretrained tower checkpoint; "
                          "bifold: a full fine-tuned reference model .pth "
-                         "(e.g. the published BiFold checkpoints)")
+                         "(e.g. the published BiFold checkpoints) — any "
+                         "family; text_unet checkpoints pickle as "
+                         "{'params': ..., 'batch_stats': ...}")
     ap.add_argument("--layers", type=int, default=12)
     ap.add_argument("--lora", action="store_true")
     ap.add_argument("--out", required=True)
@@ -529,7 +531,12 @@ def main() -> None:
     if args.arch == "siglip":
         converted = convert_siglip(sd, layers=args.layers, lora=args.lora)
     elif args.arch == "bifold":
-        converted = convert_bifold(sd)
+        if any(k.startswith("encoder.0.0") for k in sd):
+            # TextConditionedUNet checkpoint: params + BN running stats
+            params, stats = convert_text_unet(sd)
+            converted = {"params": params, "batch_stats": stats}
+        else:
+            converted = convert_bifold(sd)
     else:
         converted = convert_clip(sd, vision_layers=args.layers,
                                  text_layers=args.layers)
