@@ -199,3 +199,22 @@ def _xla_ref_for_test(q, k, v, mask):
     from bifold_tpu.ops.flash_attention import _xla_reference
 
     return _xla_reference(q, k, v, mask, q.shape[-1] ** -0.5)
+
+
+def test_flash_residency_ceiling_is_explicit_error():
+    """Sequences whose full-row K/V (+ backward dk/dv accumulator) VMEM
+    residency cannot fit must fail with an actionable ValueError at trace
+    time, not a Mosaic OOM (ADVICE r2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bifold_tpu.ops.flash_attention import flash_attention
+
+    n, d = 300_000, 64  # bwd residency ~230 MB > the 96 MB ceiling
+    q = jnp.zeros((1, n, 1, d), jnp.bfloat16)
+
+    with pytest.raises(ValueError, match="VMEM"):
+        jax.eval_shape(
+            lambda a: jax.grad(
+                lambda x: flash_attention(x, x, x, interpret=True)
+                .astype(jnp.float32).sum())(a), q)

@@ -278,3 +278,50 @@ def test_cache_builder_obj_mesh_dir(tmp_path):
     # the settled state has the mesh's (deduped) particle count
     n_unique = len(np.unique(np.round(verts / 1e-6).astype(np.int64), axis=0))
     assert cache["states"][0]["particle_pos"].shape == (n_unique, 4)
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("BIFOLD_RENDER_AB", "") in ("", "0"),
+    reason="renderer-sensitivity A/B is CPU-minutes; opt in with "
+           "BIFOLD_RENDER_AB=1 (run once per round)")
+def test_render_shading_domain_sensitivity(tmp_path):
+    """Quantify the shading domain gap for closed-loop policies (VERDICT r2
+    next #7): train the tiny policy on FLAT-shaded renders, then evaluate
+    closed-loop on (a) flat renders (in-domain) and (b) smooth-shaded
+    renders (the GL-like default — a render-domain shift). The cross-domain
+    penalty is the measured sensitivity; it must stay well under the
+    random-policy error (i.e. the policy does not collapse under the other
+    shading model)."""
+    import random
+
+    from bifold_tpu.env.cache_builder import build_cache
+
+    build_cache("Tshirt", tmp_path, n_configs=1, settle_steps=20)
+    rng = np.random.default_rng(0)
+    rng.integers(1)
+    angle = float(rng.uniform(-40, 40))
+
+    collector = _make_eval(tmp_path, policy=None)
+    collector.load_cache("Tshirt")
+    clean, augmented = _collect_demonstrations(collector, angle)
+    collector.close()
+    policy = _train_policy(clean, augmented)
+
+    results = {}
+    for shading in ("flat", "smooth"):
+        ev = _make_eval(tmp_path, policy)
+        ev.env.sim.shading = shading
+        turns: dict = {}
+        _record_model_turns(ev, turns)
+        random.seed(7)
+        ev.evaluate(num_evals=1, task="TshirtFold", seed=0)
+        results[shading] = float(np.mean(_first_action_errors(ev, turns)))
+        ev.close()
+
+    print(f"[render-ab] first-action particle error: "
+          f"flat {results['flat']:.4f} vs smooth {results['smooth']:.4f} "
+          f"(random-policy reference ~0.092)")
+    # in-domain sanity + bounded cross-domain degradation: the smooth-render
+    # rollout must stay far below the ~0.092 random-policy error
+    assert results["flat"] < 10 * 0.00625
+    assert results["smooth"] < 0.8 * 0.092, results
