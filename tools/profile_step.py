@@ -46,6 +46,13 @@ def main():
     float(metrics["loss"])
     jax.profiler.stop_trace()
 
+    sys.path.insert(0, str(ROOT / "tools"))
+    from xplane import device_busy_ms
+
+    print(f"== interval-merged device busy: "
+          f"{device_busy_ms('/tmp/prof') / steps:.1f} ms/step "
+          f"(honest wall; the per-op rows below double-count nesting)")
+
     from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
     path = sorted(glob("/tmp/prof/**/*.xplane.pb", recursive=True))[-1]
     xs = xplane_pb2.XSpace()
