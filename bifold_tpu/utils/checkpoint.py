@@ -23,8 +23,19 @@ __all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint"]
 
 
 def _to_host(tree: Any) -> Any:
-    return jax.tree_util.tree_map(
-        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree)
+    """Fetch a pytree to host numpy.
+
+    Multi-process arrays (fsdp-sharded across hosts: not fully addressable)
+    are gathered collectively — EVERY process must call this (it runs an
+    all-gather), even though only process 0 writes the file."""
+    def fetch(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x) if isinstance(x, jax.Array) else x
+
+    return jax.tree_util.tree_map(fetch, tree)
 
 
 def save_checkpoint(path: str | Path, *, params: Any, opt_state: Any = None,
@@ -54,6 +65,10 @@ def save_checkpoint(path: str | Path, *, params: Any, opt_state: Any = None,
         "jax_key": None if jax_key is None else np.asarray(jax.random.key_data(jax_key)),
         "metadata": metadata or {},
     }
+    if jax.process_index() != 0:
+        # the collective gathers above already ran on every process; only
+        # process 0 owns the file (all hosts see the same global values)
+        return path
     tmp = path.with_suffix(path.suffix + ".tmp")
     with open(tmp, "wb") as f:
         pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)

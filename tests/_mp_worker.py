@@ -66,6 +66,18 @@ flat = jax.tree_util.tree_flatten_with_path(params)[0]
 lora_leaves = [l for p, l in flat if "lora" in str(p).lower()]
 fp = float(sum(jnp.sum(jnp.square(l.astype(jnp.float32))) for l in lora_leaves))
 
+# multi-host checkpoint: collective gather on every process, file written
+# by process 0 only (fsdp-sharded leaves are NOT fully addressable here)
+ckpt_dir = os.environ.get("BIFOLD_MP_CKPT")
+ckpt_saved = None
+if ckpt_dir:
+    from bifold_tpu.utils.checkpoint import save_checkpoint
+
+    out = save_checkpoint(os.path.join(ckpt_dir, "mp.ckpt"), params=params,
+                          opt_state=opt_state, epoch=1,
+                          jax_key=jax.random.key(1))
+    ckpt_saved = str(out)
+
 print(json.dumps({"pid": pid, "loss": float(metrics["loss"]),
                   "grad_norm": float(metrics["grad_norm"]),
-                  "lora_sq_norm": fp}), flush=True)
+                  "lora_sq_norm": fp, "ckpt": ckpt_saved}), flush=True)

@@ -27,13 +27,21 @@ def _free_port() -> int:
 
 
 @pytest.fixture(scope="module")
-def worker_results():
+def mp_ckpt_dir(tmp_path_factory):
+    return tmp_path_factory.mktemp("mp_ckpt")
+
+
+@pytest.fixture(scope="module")
+def worker_results(mp_ckpt_dir):
+    import os
+
     port = _free_port()
+    env = {**os.environ, "BIFOLD_MP_CKPT": str(mp_ckpt_dir)}
     procs = [
         subprocess.Popen(
             [sys.executable, str(HERE / "_mp_worker.py"), str(i), str(port)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            cwd=str(HERE.parent))
+            cwd=str(HERE.parent), env=env)
         for i in range(2)
     ]
     outs = []
@@ -92,6 +100,35 @@ def test_matches_unsharded_numerics(worker_results):
     fp = float(sum(jnp.sum(jnp.square(l.astype(jnp.float32)))
                    for l in lora_leaves))
     assert a["lora_sq_norm"] == pytest.approx(fp, rel=2e-4)
+
+
+def test_multihost_checkpoint_written_once_and_loadable(worker_results,
+                                                        mp_ckpt_dir):
+    """save_checkpoint under a 2-process runtime: the gather is collective
+    (both workers call it on non-fully-addressable arrays), process 0 alone
+    writes, and the file loads to global-shaped host arrays."""
+    from bifold_tpu.utils.checkpoint import load_checkpoint
+
+    ckpt = mp_ckpt_dir / "mp.ckpt"
+    assert ckpt.exists()
+    assert not (mp_ckpt_dir / "mp.ckpt.tmp").exists()
+    for r in worker_results:  # both processes returned (and survived) it
+        assert r["ckpt"] is not None
+
+    payload = load_checkpoint(str(ckpt), restore_rng=False)
+    sys.path.insert(0, str(HERE))
+    import _mp_common
+
+    import jax
+    import jax.numpy as jnp
+
+    model, _, tx, _ = _mp_common.build()
+    local = {k: jnp.asarray(v[:_mp_common.GLOBAL_BATCH // 2])
+             for k, v in _mp_common.global_batch_np().items()}
+    ref_params = _mp_common.init_params(model, local)
+    ref_shapes = jax.tree_util.tree_map(lambda x: x.shape, ref_params)
+    got_shapes = jax.tree_util.tree_map(np.shape, payload["params"])
+    assert ref_shapes == got_shapes
 
 
 def test_loader_process_slices_partition_global_batch():
