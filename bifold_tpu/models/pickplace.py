@@ -63,11 +63,19 @@ class PickPlaceConvDecoder(nn.Module):
             return t.reshape(t.shape[0], sqrt_p, sqrt_p, t.shape[-1])
 
         def head(name, feats):
-            # always rematerialized: the decoder is 5 pointwise matmuls (cheap
-            # to recompute) but its f32 activation pyramid up to (B, H*W, C)
-            # dominates training memory at full resolution
+            # rematerialized by default: the decoder is 5 pointwise matmuls
+            # (cheap to recompute) but its f32 activation pyramid up to
+            # (B, H*W, C) dominates training memory at full resolution.
+            # BIFOLD_HEAD_REMAT=0 trades that memory back for one less
+            # forward pass per head (A/B lever, read at trace time).
+            import os
+            remat = os.environ.get("BIFOLD_HEAD_REMAT", "1").lower() \
+                not in ("0", "false")
             dec = ConvDecoder(self.dim, 1, dtype=jnp.float32, name=name)
-            hm = nn.remat(lambda mdl, x: mdl(x))(dec, feats)
+            if remat:
+                hm = nn.remat(lambda mdl, x: mdl(x))(dec, feats)
+            else:
+                hm = dec(feats)
             return hm[..., 0].astype(jnp.float32)  # logits
 
         mask_hm = None
