@@ -80,15 +80,30 @@ def build_optimizer(
     ``optax.set_to_zero`` and zero optimizer state. Returns ``(tx, schedule)``
     — the schedule is also returned standalone so the trainer can log lr per
     step (reference __main__.py:154-159).
+
+    ``accumulate_steps`` (optim config, default 1) enables gradient
+    accumulation via ``optax.MultiSteps``: k micro-batches average into one
+    optimizer update (effective batch = k * batch_size), clipping and the
+    lr schedule apply per UPDATE, and ``max_iters`` (micro-steps) is
+    rescaled so warmup/cosine spans the same wall-clock training run. A
+    TPU-native extra over the reference (which always updates per batch):
+    it buys large effective batches without the activation memory — the
+    accumulators live only on the trainable subtree (they sit inside the
+    trainable branch of the multi_transform, so frozen/LoRA-masked leaves
+    carry no accumulator state).
     """
     node = dict(optim_cfg)
     name = node.pop("name")
     base_lr = node.pop("lr")
-    schedule = build_schedule(scheduler_cfg, base_lr, max_iters)
+    accumulate = int(node.pop("accumulate_steps", 1) or 1)
+    n_updates = max(1, -(-max_iters // accumulate))
+    schedule = build_schedule(scheduler_cfg, base_lr, n_updates)
 
     tx = Optimizers.get(name)(learning_rate=schedule, **node)
     if gradient_clip is not None:
         tx = optax.chain(optax.clip_by_global_norm(gradient_clip), tx)
+    if accumulate > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate).gradient_transformation()
     if trainable is not None:
         labels = jax.tree_util.tree_map(
             lambda t: "train" if t else "frozen", trainable)

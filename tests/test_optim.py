@@ -72,3 +72,79 @@ def test_adamw_weight_decay_differs():
         up, _ = tx.update(g, st, params)
         moved = bool(np.any(np.abs(np.asarray(up["w"])) > 1e-8))
         assert moved == expect_move, (name, wd)
+
+
+def test_accumulate_steps_matches_full_batch_sgd():
+    """k micro-batches with accumulate_steps=k produce the SAME update as one
+    step on the concatenated batch (mean-loss semantics), and the schedule
+    advances per UPDATE, not per micro-step."""
+    import optax
+
+    rng = np.random.default_rng(0)
+    w0 = jnp.asarray(rng.standard_normal((4, 3)), jnp.float32)
+    xs = jnp.asarray(rng.standard_normal((8, 4)), jnp.float32)
+    ys = jnp.asarray(rng.standard_normal((8, 3)), jnp.float32)
+
+    def grad_of(w, x, y):
+        return jax.grad(lambda w_: jnp.mean((x @ w_ - y) ** 2))(w)
+
+    # betas=0 makes adam memoryless (update depends only on this step's
+    # grad), so both sides see exactly one grad each and must agree
+    cfg = {"name": "adam", "lr": 0.1, "betas": [0.0, 0.0], "eps": 1e-8,
+           "weight_decay": 0}
+    # accumulated: 4 micro-batches of 2
+    tx_acc, _ = build_optimizer({**cfg, "accumulate_steps": 4}, None,
+                                max_iters=8)
+    params = {"w": w0}
+    st = tx_acc.init(params)
+    for i in range(4):
+        g = {"w": grad_of(params["w"], xs[2 * i:2 * i + 2], ys[2 * i:2 * i + 2])}
+        up, st = tx_acc.update(g, st, params)
+        params = optax.apply_updates(params, up)
+        if i < 3:  # no update until the k-th micro-step
+            assert np.allclose(np.asarray(params["w"]), np.asarray(w0))
+
+    # one full-batch step
+    tx_full, _ = build_optimizer(cfg, None, max_iters=2)
+    pf = {"w": w0}
+    stf = tx_full.init(pf)
+    up, _ = tx_full.update({"w": grad_of(w0, xs, ys)}, stf, pf)
+    pf = optax.apply_updates(pf, up)
+
+    np.testing.assert_allclose(np.asarray(params["w"]), np.asarray(pf["w"]),
+                               rtol=2e-6, atol=2e-7)
+
+
+def test_accumulate_steps_schedule_counts_updates():
+    """Warmup spans the same training run whether or not grads accumulate:
+    max_iters (micro-steps) is rescaled to updates for the schedule."""
+    sched_cfg = {"name": "linear_warmup", "warmup_portion": 0.5,
+                 "warmup_start_lr": 0, "use_cosine_decay": False}
+    _, sched = build_optimizer(
+        {"name": "adam", "lr": 1e-2, "betas": [0.9, 0.999], "eps": 1e-8,
+         "weight_decay": 0, "accumulate_steps": 10},
+        sched_cfg, max_iters=1000)
+    # 1000 micro-steps / 10 = 100 updates; warmup ends at update 50
+    assert float(sched(25)) < 1e-2 * 0.6
+    assert abs(float(sched(50)) - 1e-2) < 1e-9
+
+
+def test_accumulate_with_trainable_mask():
+    """Accumulators live only on the trainable branch; frozen leaves stay
+    zero through and after the update boundary."""
+    import optax
+
+    params = {"frozen": jnp.ones((2, 2)), "head": jnp.ones((2, 2))}
+    trainable = {"frozen": False, "head": True}
+    tx, _ = build_optimizer(
+        {"name": "adam", "lr": 0.1, "betas": [0.0, 0.0], "eps": 1e-8,
+         "weight_decay": 0, "accumulate_steps": 2},
+        None, max_iters=4, trainable=trainable)
+    st = tx.init(params)
+    g = jax.tree.map(jnp.ones_like, params)
+    p = params
+    for _ in range(2):
+        up, st = tx.update(g, st, p)
+        p = optax.apply_updates(p, up)
+    assert np.all(np.asarray(p["frozen"]) == 1.0)
+    assert np.all(np.asarray(p["head"]) != 1.0)
