@@ -27,7 +27,42 @@ from bifold_tpu.data.processor import Processor
 from bifold_tpu.env.action import Action
 from bifold_tpu.models import build_model, decode_action
 
-__all__ = ["ServingModel"]
+__all__ = ["ServingModel", "ExportedServingModel"]
+
+_INT_INPUTS = ("instruction", "ctx_count")
+_U8_INPUTS = ("rgb", "ctx_rgb")
+_BINARY_INPUTS = ("mask", "ctx_mask")  # 0/1 floats travel as uint8
+_DEPTH_INPUTS = ("depth", "ctx_depth")
+
+
+def _pack_observation(batched, depth_f16: bool):
+    """Pack raw observation arrays into one flat BYTE buffer (single upload;
+    a tunneled TPU moves ~25 MB/s, so images travel as uint8, float/int
+    payloads as raw bytes bitcast back on device). Returns (flat, schema)
+    where schema is a tuple of (name, byte_offset, shape)."""
+    parts, schema, off = [], [], 0
+    for name in ("rgb", "depth", "mask", "ctx_rgb", "ctx_depth",
+                 "ctx_mask", "ctx_count", "instruction"):
+        if name not in batched:
+            continue
+        arr = batched[name]
+        if name in _BINARY_INPUTS:
+            # soft masks (anti-aliased edges, /255 PNG loads) must keep the
+            # pipeline's round-to-nearest semantics on the 1-byte wire — a
+            # plain uint8 cast floors 0.5..0.99 edges to 0
+            payload = np.ravel(np.round(arr)).astype(np.uint8)
+        elif name in _U8_INPUTS:
+            payload = np.ravel(arr).astype(np.uint8)
+        elif name in _INT_INPUTS:
+            payload = np.ravel(arr).astype(np.int32).view(np.uint8)
+        elif depth_f16 and name in _DEPTH_INPUTS:
+            payload = np.ravel(arr).astype(np.float16).view(np.uint8)
+        else:
+            payload = np.ravel(arr).astype(np.float32).view(np.uint8)
+        parts.append(payload)
+        schema.append((name, off, arr.shape))
+        off += payload.size
+    return np.concatenate(parts), tuple(schema)
 
 
 class ServingModel:
@@ -73,10 +108,10 @@ class ServingModel:
         # by which raw inputs are present; jit handles shape re-traces
         self._e2e_programs: Dict[Any, Any] = {}
 
-    _INT_INPUTS = ("instruction", "ctx_count")
-    _U8_INPUTS = ("rgb", "ctx_rgb")
-    _BINARY_INPUTS = ("mask", "ctx_mask")  # 0/1 floats travel as uint8
-    _DEPTH_INPUTS = ("depth", "ctx_depth")
+    _INT_INPUTS = _INT_INPUTS
+    _U8_INPUTS = _U8_INPUTS
+    _BINARY_INPUTS = _BINARY_INPUTS
+    _DEPTH_INPUTS = _DEPTH_INPUTS
 
     def _e2e_program(self, spec, schema):
         """Jitted raw-pixels->Action program: the processor ``_core``, the
@@ -182,33 +217,7 @@ class ServingModel:
         if "ctx_count" in raw:
             batched["ctx_count"] = np.asarray([raw["ctx_count"]])
         spec = self.processor._spec(batched)
-
-        # pack every raw input into one flat BYTE buffer (single upload; the
-        # tunneled TPU moves ~25 MB/s, so images travel as uint8 and float/int
-        # payloads as raw bytes bitcast back on device)
-        parts, schema, off = [], [], 0
-        for name in ("rgb", "depth", "mask", "ctx_rgb", "ctx_depth",
-                     "ctx_mask", "ctx_count", "instruction"):
-            if name not in batched:
-                continue
-            arr = batched[name]
-            if name in self._BINARY_INPUTS:
-                # soft masks (anti-aliased edges, /255 PNG loads) must keep
-                # the pipeline's round-to-nearest semantics on the 1-byte
-                # wire — a plain uint8 cast floors 0.5..0.99 edges to 0
-                payload = np.ravel(np.round(arr)).astype(np.uint8)
-            elif name in self._U8_INPUTS:
-                payload = np.ravel(arr).astype(np.uint8)
-            elif name in self._INT_INPUTS:
-                payload = np.ravel(arr).astype(np.int32).view(np.uint8)
-            elif self._depth_wire_f16 and name in self._DEPTH_INPUTS:
-                payload = np.ravel(arr).astype(np.float16).view(np.uint8)
-            else:
-                payload = np.ravel(arr).astype(np.float32).view(np.uint8)
-            parts.append(payload)
-            schema.append((name, off, arr.shape))
-            off += payload.size
-        flat = np.concatenate(parts)
+        flat, schema = _pack_observation(batched, self._depth_wire_f16)
 
         prog = self._e2e_program(spec, tuple(schema))
         packed, out = prog(self.variables, flat)
@@ -251,3 +260,120 @@ class ServingModel:
             depth=rng.random((input_size, input_size)).astype(np.float32),
             mask=np.ones((input_size, input_size), np.float32),
             instruction="warmup")
+
+    # ------------------------------------------------------------------
+    # Deployment artifact (jax.export)
+    # ------------------------------------------------------------------
+
+    def export(self, path, rgb=None, depth=None, mask=None,
+               instruction: str = "export", context=None,
+               platforms: Optional[List[str]] = None):
+        """Serialize the one-dispatch serve program for ONE observation shape
+        into a deployment artifact: serialized StableHLO (portable across
+        jax versions per jax.export's compatibility guarantees) + host
+        weights + the byte-packing schema + the processor config. Loading
+        via :meth:`load_exported` never rebuilds the flax model or retraces
+        — the TPU-native analogue of a torchscript/ONNX serving export.
+
+        ``platforms`` pins the lowering targets (default: the current
+        backend); pass ``["tpu", "cpu"]`` to make one artifact servable on
+        both. Graph-conditioned models are not exportable (host-side
+        data-dependent graph construction).
+        """
+        if self.processor.requires_graph:
+            raise NotImplementedError(
+                "graph-conditioned models build data-dependent graphs "
+                "host-side; the one-dispatch export does not cover them")
+        from jax import export as jax_export
+
+        raw = self.processor.make_raw(rgb=rgb, depth=depth, mask=mask,
+                                      instruction=instruction, context=context)
+        batched = {k: np.asarray(v)[None] for k, v in raw.items()
+                   if isinstance(v, np.ndarray)}
+        if "ctx_count" in raw:
+            batched["ctx_count"] = np.asarray([raw["ctx_count"]])
+        spec = self.processor._spec(batched)
+        flat, schema = _pack_observation(batched, self._depth_wire_f16)
+
+        prog = self._e2e_program(spec, schema)
+        plats = list(platforms) if platforms else None
+        exported = jax_export.export(prog, platforms=plats)(
+            jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                self.variables),
+            jax.ShapeDtypeStruct(flat.shape, flat.dtype))
+
+        import pickle
+        payload = {
+            "serialized": exported.serialize(),
+            "variables": jax.tree_util.tree_map(np.asarray, self.variables),
+            "schema": schema,
+            "depth_wire_f16": self._depth_wire_f16,
+            "fields": self._action_fields(),
+            "processor_cfg": dict(self.processor.cfg),
+            # None (not 0) when context is off: Processor keys
+            # process_context on `max_context_length is not None`
+            "max_context_length": (self.processor.max_context_length
+                                   if self.processor.process_context else None),
+            "autoprocessor_name": self.processor.autoprocessor_name,
+            "platforms": plats or [jax.default_backend()],
+        }
+        path = __import__("pathlib").Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(path.suffix + ".tmp")
+        with open(tmp, "wb") as f:
+            pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+        tmp.replace(path)
+        return path
+
+    @staticmethod
+    def load_exported(path) -> "ExportedServingModel":
+        return ExportedServingModel(path)
+
+
+class ExportedServingModel:
+    """Serve from a :meth:`ServingModel.export` artifact: deserialized
+    StableHLO called through jit — no model construction, no flax, no
+    retracing; the host side only tokenizes and byte-packs the observation
+    (the exact packing recorded in the artifact's schema)."""
+
+    def __init__(self, path):
+        import pickle
+
+        from jax import export as jax_export
+
+        with open(path, "rb") as f:
+            p = pickle.load(f)
+        self._exported = jax_export.deserialize(p["serialized"])
+        self._call = jax.jit(self._exported.call)
+        self.variables = jax.tree_util.tree_map(jnp.asarray, p["variables"])
+        self.schema = p["schema"]
+        self._depth_wire_f16 = p["depth_wire_f16"]
+        self.fields = p["fields"]
+        self.platforms = p["platforms"]
+        self.processor = Processor(
+            p["processor_cfg"], partition="test",
+            max_context_length=p["max_context_length"],
+            autoprocessor_name=p["autoprocessor_name"])
+
+    def predict(self, rgb=None, depth=None, mask=None, instruction: str = "",
+                context: Optional[List[Dict]] = None,
+                return_raw_output: bool = False):
+        raw = self.processor.make_raw(rgb=rgb, depth=depth, mask=mask,
+                                      instruction=instruction, context=context)
+        batched = {k: np.asarray(v)[None] for k, v in raw.items()
+                   if isinstance(v, np.ndarray)}
+        if "ctx_count" in raw:
+            batched["ctx_count"] = np.asarray([raw["ctx_count"]])
+        flat, schema = _pack_observation(batched, self._depth_wire_f16)
+        if schema != tuple(self.schema):
+            raise ValueError(
+                f"observation layout {schema} does not match the exported "
+                f"artifact's {tuple(self.schema)}; export covers exactly one "
+                "observation shape")
+        packed, out = self._call(self.variables, flat)
+        packed = np.asarray(packed)
+        action = Action(**{f: packed[:, i] for i, f in enumerate(self.fields)})
+        if return_raw_output:
+            return action, jax.tree_util.tree_map(np.asarray, out)
+        return action

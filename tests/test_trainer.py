@@ -296,3 +296,85 @@ def test_serving_precast_params_identical():
         if hasattr(l, "size") and l.size >= 2 ** 16]
     assert big and all(l.dtype == jnp.bfloat16 for l in big
                        if jnp.issubdtype(l.dtype, jnp.floating))
+
+
+def test_serving_export_roundtrip(trained, tmp_path):
+    """jax.export deployment artifact: serialized StableHLO + weights +
+    packing schema + processor config round-trips to identical actions and
+    heatmaps, serves new instructions at the exported observation shape, and
+    rejects other shapes with a clear error."""
+    _, cfg, trainer, _ = trained
+    from bifold_tpu.serving import ServingModel
+
+    server = ServingModel.from_checkpoint(
+        str(trainer.ckpt_dir / "last.ckpt"), cfg)
+    rng = np.random.default_rng(7)
+    obs = dict(rgb=rng.integers(0, 255, (96, 96, 3), dtype=np.uint8),
+               depth=rng.random((96, 96)).astype(np.float32),
+               mask=(rng.random((96, 96)) > 0.5).astype(np.float32))
+
+    a_ref, raw_ref = server.predict(**obs, instruction="fold the towel",
+                                    return_raw_output=True)
+    art = server.export(tmp_path / "serve.bifold", **obs,
+                        instruction="fold the towel")
+    loaded = ServingModel.load_exported(art)
+    a_exp, raw_exp = loaded.predict(**obs, instruction="fold the towel",
+                                    return_raw_output=True)
+    np.testing.assert_array_equal(a_ref.pick, a_exp.pick)
+    np.testing.assert_array_equal(a_ref.place, a_exp.place)
+    np.testing.assert_allclose(raw_ref["pick_heatmap"],
+                               raw_exp["pick_heatmap"], atol=1e-6)
+
+    # new instruction, same shapes: served without retracing or rebuilding
+    a2 = loaded.predict(**obs, instruction="a different instruction")
+    assert (a2.pick >= 0).all()
+
+    # a different camera resolution must fail loudly, not mis-decode
+    with pytest.raises(ValueError, match="does not match the exported"):
+        loaded.predict(rgb=obs["rgb"][:64, :64], depth=obs["depth"][:64, :64],
+                       mask=obs["mask"][:64, :64], instruction="x")
+
+
+def test_serving_export_with_context(tmp_path):
+    """Export round-trip for a sequential model: context frames pack into the
+    artifact's schema and the reconstructed processor keeps process_context
+    (max_context_length=None vs 0 distinction)."""
+    import jax
+    from bifold_tpu.data.processor import Processor
+    from bifold_tpu.models import build_model
+    from bifold_tpu.serving import ServingModel
+
+    model = build_model({
+        "name": "siglip_sequential", "image_size": 64, "is_bimanual": False,
+        "patch_size": 16, "automodel_name": "tiny", "dim": 64, "lora": False,
+        "depth": 1, "heads": 4, "context_length": 2})
+    proc = Processor({"model_image_size": 64, "text_encoder": None,
+                      "sigma": 5, "requires_graph": False,
+                      "spatial_augment": False, "strategy": "gmm",
+                      "mask_depth": True, "standardize_depth": False},
+                     partition="test", max_context_length=2,
+                     autoprocessor_name="tiny")
+    rng = np.random.default_rng(0)
+    init = {"rgb": np.zeros((1, 3, 64, 64), np.float32),
+            "instruction": np.zeros((1, 64), np.int32),
+            "rgb_context": np.zeros((1, 2, 3, 64, 64), np.float32),
+            "context_attention_mask": np.ones((1, 2), np.int32)}
+    import jax.numpy as jnp
+    variables = jax.jit(lambda k: model.init(
+        k, {k2: jnp.asarray(v) for k2, v in init.items()},
+        deterministic=True))(jax.random.key(0))
+    server = ServingModel(model, variables, proc, threshold=0.01)
+
+    obs = dict(rgb=rng.integers(0, 255, (80, 80, 3), dtype=np.uint8),
+               depth=rng.random((80, 80)).astype(np.float32),
+               mask=np.ones((80, 80), np.float32))
+    ctx = [{"rgb": rng.integers(0, 255, (80, 80, 3), dtype=np.uint8),
+            "depth": rng.random((80, 80)).astype(np.float32),
+            "mask": np.ones((80, 80), np.float32)}]
+    a_ref = server.predict(**obs, instruction="fold", context=ctx)
+    art = server.export(tmp_path / "seq.bifold", **obs, instruction="fold",
+                        context=ctx)
+    loaded = ServingModel.load_exported(art)
+    a_exp = loaded.predict(**obs, instruction="fold", context=ctx)
+    np.testing.assert_array_equal(a_ref.pick, a_exp.pick)
+    np.testing.assert_array_equal(a_ref.place, a_exp.place)
