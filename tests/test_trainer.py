@@ -378,3 +378,21 @@ def test_serving_export_with_context(tmp_path):
     a_exp = loaded.predict(**obs, instruction="fold", context=ctx)
     np.testing.assert_array_equal(a_ref.pick, a_exp.pick)
     np.testing.assert_array_equal(a_ref.place, a_exp.place)
+
+
+def test_trainer_gradient_accumulation_sharded(tmp_path):
+    """accumulate_steps through the full sharded trainer path: MultiSteps
+    opt-state places under param_sharding on the 8-device mesh, survives
+    donation, and the loss trains."""
+    cfg = tiny_cfg(tmp_path, extra=("optim.accumulate_steps=2", "epochs=2"))
+    trainer = Trainer(Config(cfg), run_dir=tmp_path / "run")
+    trainer.prepare_train()
+    losses = [trainer.train_epoch() for _ in range(2)]
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[1] < losses[0]
+    trainer.epoch = 2
+    trainer.save_model("last")
+    # resume restores the accumulator state structure
+    trainer2 = Trainer(Config(cfg), run_dir=tmp_path / "run")
+    trainer2.prepare_train()
+    assert trainer2.epoch == 2
