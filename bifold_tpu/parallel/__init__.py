@@ -13,7 +13,9 @@ compile, profile).
 ``tp`` is reserved for tensor-parallel attention/MLP sharding of the fusion
 stack; at BiFold's ~200M-param scale dp(+fsdp) saturates a v5e slice, so tp
 defaults to 1 but the mesh carries the axis so larger models can turn it on
-without re-plumbing.
+without re-plumbing. An optional trailing ``pp`` axis feeds
+:func:`bifold_tpu.parallel.pipeline.gpipe` — GPipe microbatch pipelining of
+the depth-stacked transformer params (see that module's docstring).
 """
 
 from __future__ import annotations
@@ -36,7 +38,10 @@ __all__ = [
     "shard_batch",
     "make_train_step",
     "make_eval_step",
+    "gpipe",
 ]
+
+from bifold_tpu.parallel.pipeline import gpipe  # noqa: E402
 
 
 def distributed_init(coordinator_address: Optional[str] = None,
@@ -95,21 +100,27 @@ def make_mesh(mesh_cfg: Optional[dict] = None,
     fsdp = int(cfg.get("fsdp", 1))
     tp = int(cfg.get("tp", 1))
     dcn = int(cfg.get("dcn", 1))
+    pp = int(cfg.get("pp", 1))
     dp = int(cfg.get("dp", -1))
     if dp == -1:
-        denom = dcn * fsdp * tp
-        assert n % denom == 0, f"{n} devices not divisible by dcn*fsdp*tp={denom}"
+        denom = dcn * fsdp * tp * pp
+        assert n % denom == 0, (
+            f"{n} devices not divisible by dcn*fsdp*tp*pp={denom}")
         dp = n // denom
-    assert dcn * dp * fsdp * tp == n, (
-        f"mesh {dcn}x{dp}x{fsdp}x{tp} != {n} devices")
+    assert dcn * dp * fsdp * tp * pp == n, (
+        f"mesh {dcn}x{dp}x{fsdp}x{tp}x{pp} != {n} devices")
     if dcn > 1 and jax.process_count() > 1:
         # group by process so dcn = host/slice boundary
         devices = sorted(devices, key=lambda d: (d.process_index, d.id))
+    shape, names = [dp, fsdp, tp], ["dp", "fsdp", "tp"]
     if dcn > 1:
-        arr = np.asarray(devices).reshape(dcn, dp, fsdp, tp)
-        return Mesh(arr, axis_names=("dcn", "dp", "fsdp", "tp"))
-    arr = np.asarray(devices).reshape(dp, fsdp, tp)
-    return Mesh(arr, axis_names=("dp", "fsdp", "tp"))
+        shape, names = [dcn] + shape, ["dcn"] + names
+    if pp > 1:
+        # trailing (fastest-varying) so pipeline ppermutes ride neighbor ICI
+        # links; used by parallel.pipeline.gpipe over depth-stacked params
+        shape, names = shape + [pp], names + ["pp"]
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, axis_names=tuple(names))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
