@@ -15,7 +15,10 @@ stack; at BiFold's ~200M-param scale dp(+fsdp) saturates a v5e slice, so tp
 defaults to 1 but the mesh carries the axis so larger models can turn it on
 without re-plumbing. An optional trailing ``pp`` axis feeds
 :func:`bifold_tpu.parallel.pipeline.gpipe` — GPipe microbatch pipelining of
-the depth-stacked transformer params (see that module's docstring).
+the depth-stacked transformer params — and an optional innermost ``sp``
+axis feeds :func:`bifold_tpu.ops.ring_attention.ring_attention` — K/V-ring
+sequence parallelism for contexts past one chip's memory (see those
+modules' docstrings).
 """
 
 from __future__ import annotations
@@ -39,9 +42,11 @@ __all__ = [
     "make_train_step",
     "make_eval_step",
     "gpipe",
+    "ring_attention",
 ]
 
 from bifold_tpu.parallel.pipeline import gpipe  # noqa: E402
+from bifold_tpu.ops.ring_attention import ring_attention  # noqa: E402
 
 
 def distributed_init(coordinator_address: Optional[str] = None,
@@ -101,14 +106,15 @@ def make_mesh(mesh_cfg: Optional[dict] = None,
     tp = int(cfg.get("tp", 1))
     dcn = int(cfg.get("dcn", 1))
     pp = int(cfg.get("pp", 1))
+    sp = int(cfg.get("sp", 1))
     dp = int(cfg.get("dp", -1))
     if dp == -1:
-        denom = dcn * fsdp * tp * pp
+        denom = dcn * fsdp * tp * pp * sp
         assert n % denom == 0, (
-            f"{n} devices not divisible by dcn*fsdp*tp*pp={denom}")
+            f"{n} devices not divisible by dcn*fsdp*tp*pp*sp={denom}")
         dp = n // denom
-    assert dcn * dp * fsdp * tp * pp == n, (
-        f"mesh {dcn}x{dp}x{fsdp}x{tp}x{pp} != {n} devices")
+    assert dcn * dp * fsdp * tp * pp * sp == n, (
+        f"mesh {dcn}x{dp}x{fsdp}x{tp}x{pp}x{sp} != {n} devices")
     if dcn > 1 and jax.process_count() > 1:
         # group by process so dcn = host/slice boundary
         devices = sorted(devices, key=lambda d: (d.process_index, d.id))
@@ -116,9 +122,15 @@ def make_mesh(mesh_cfg: Optional[dict] = None,
     if dcn > 1:
         shape, names = [dcn] + shape, ["dcn"] + names
     if pp > 1:
-        # trailing (fastest-varying) so pipeline ppermutes ride neighbor ICI
+        # trailing (fast-varying) so pipeline ppermutes ride neighbor ICI
         # links; used by parallel.pipeline.gpipe over depth-stacked params
         shape, names = shape + [pp], names + ["pp"]
+    if sp > 1:
+        # innermost (fastest-varying): the K/V ring of
+        # ops.ring_attention.ring_attention communicates every ring step —
+        # more often than pp's per-tick ppermute — so it gets the
+        # nearest-neighbor ICI links when both are active
+        shape, names = shape + [sp], names + ["sp"]
     arr = np.asarray(devices).reshape(shape)
     return Mesh(arr, axis_names=tuple(names))
 
