@@ -62,6 +62,14 @@ def _layer_norm_stats(xf, eps):
 
 
 def _layer_norm_fwd(x, scale, bias, eps):
+    # Opt-in Pallas backend (BIFOLD_LN_KERNEL=pallas): the kernel beats
+    # XLA's LN op 3x but loses net step time to un-fused neighbors — kept
+    # as a measured lever, default off (see ops/layer_norm.py docstring).
+    from bifold_tpu.ops import layer_norm as _ln_kernel
+
+    if x.ndim >= 2 and _ln_kernel.use_pallas_ln(x.shape[-1]):
+        out, mean, rstd = _ln_kernel.ln_forward(x, scale, bias, eps)
+        return out, (x, mean, rstd, scale)
     xf = x.astype(jnp.float32)
     mean, rstd = _layer_norm_stats(xf, eps)
     y = (xf - mean) * rstd
@@ -71,6 +79,11 @@ def _layer_norm_fwd(x, scale, bias, eps):
 
 def _layer_norm_bwd(eps, res, dy):
     x, mean, rstd, scale = res
+    from bifold_tpu.ops import layer_norm as _ln_kernel
+
+    if x.ndim >= 2 and _ln_kernel.use_pallas_ln(x.shape[-1]):
+        dx, dscale, dbias = _ln_kernel.ln_backward(x, dy, mean, rstd, scale)
+        return (dx, dscale.astype(scale.dtype), dbias.astype(scale.dtype))
     xf = x.astype(jnp.float32)
     dyf = dy.astype(jnp.float32)
     xhat = (xf - mean) * rstd
