@@ -100,20 +100,64 @@ def _layer_norm_bwd(eps, res, dy):
 _layer_norm.defvjp(_layer_norm_fwd, _layer_norm_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fused_add_ln(x, delta, scale, bias, eps):
+    """(s, y) where s = x + delta and y = LN(s) — one Pallas pass each way
+    (BIFOLD_LN_KERNEL=fused); the backward folds the residual-stream
+    cotangent ds into the LN backward so no standalone add survives."""
+    return _fused_add_ln_fwd(x, delta, scale, bias, eps)[0]
+
+
+def _fused_add_ln_fwd(x, delta, scale, bias, eps):
+    from bifold_tpu.ops import layer_norm as _ln_kernel
+
+    s, y, mean, rstd = _ln_kernel.fused_ln_forward(x, delta, scale, bias, eps)
+    return (s, y), (s, mean, rstd, scale)
+
+
+def _fused_add_ln_bwd(eps, res, cts):
+    ds_out, dy = cts
+    s, mean, rstd, scale = res
+    from bifold_tpu.ops import layer_norm as _ln_kernel
+
+    ds, dscale, dbias = _ln_kernel.fused_ln_backward(
+        s, dy, ds_out, mean, rstd, scale)
+    return (ds, ds, dscale.astype(scale.dtype), dbias.astype(scale.dtype))
+
+
+_fused_add_ln.defvjp(_fused_add_ln_fwd, _fused_add_ln_bwd)
+
+
 class LayerNorm(nn.Module):
     """Drop-in for nn.LayerNorm (same param names/shapes) whose backward
     recomputes the normalization from the bfloat16 input instead of saving
-    float32 intermediates. Stats always accumulate in float32."""
+    float32 intermediates. Stats always accumulate in float32.
+
+    ``__call__(x, residual=delta)`` additionally performs the pre-norm
+    residual add and returns ``(s, y)`` with ``s = x + delta``,
+    ``y = LN(s)`` — fused into one Pallas pass under
+    ``BIFOLD_LN_KERNEL=fused`` (plain add + norm otherwise)."""
 
     epsilon: float = 1e-6
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, residual=None):
+        from bifold_tpu.ops import layer_norm as _ln_kernel
+
         dim = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (dim,))
         bias = self.param("bias", nn.initializers.zeros, (dim,))
-        return _layer_norm(x.astype(self.dtype), scale, bias, float(self.epsilon))
+        eps = float(self.epsilon)
+        if residual is None:
+            return _layer_norm(x.astype(self.dtype), scale, bias, eps)
+        x = x.astype(self.dtype)
+        residual = residual.astype(self.dtype)
+        if (x.ndim >= 2 and _ln_kernel.ln_mode() == "fused"
+                and _ln_kernel.use_pallas_ln(dim)):
+            return _fused_add_ln(x, residual, scale, bias, eps)
+        s = x + residual
+        return s, _layer_norm(s, scale, bias, eps)
 
 
 _SQRT_2_OVER_PI = 0.7978845608028654
@@ -278,9 +322,10 @@ class TransformerBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, key_mask=None, *, legacy_query_mask=None, deterministic=True):
-        h = LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x)
-        h = MultiHeadAttention(
+    def __call__(self, x, key_mask=None, *, pending=None, legacy_query_mask=None,
+                 deterministic=True):
+        norm1 = LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")
+        attn = MultiHeadAttention(
             dim=self.dim,
             heads=self.heads,
             dim_head=self.dim_head,
@@ -292,14 +337,30 @@ class TransformerBlock(nn.Module):
             lora_dropout=self.lora_dropout,
             dtype=self.dtype,
             name="attn",
-        )(h, key_mask, legacy_query_mask=legacy_query_mask, deterministic=deterministic)
-        x = x + h
-        h = LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x)
-        h = FeedForward(
+        )
+        if pending is None:
+            h = attn(norm1(x), key_mask, legacy_query_mask=legacy_query_mask,
+                     deterministic=deterministic)
+            x = x + h
+            h = LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x)
+            h = FeedForward(
+                dim=self.dim, hidden_dim=self.mlp_dim, dropout=self.dropout,
+                activation=self.activation, dtype=self.dtype, name="mlp",
+            )(h, deterministic=deterministic)
+            return x + h
+        # Fused-residual wiring (BIFOLD_LN_KERNEL=fused): the caller carries
+        # (residual, pending_delta) so every residual add lands inside a
+        # LayerNorm kernel pass; returns (s2, mlp_out) for the next block.
+        s1, n1 = norm1(x, residual=pending)
+        a = attn(n1, key_mask, legacy_query_mask=legacy_query_mask,
+                 deterministic=deterministic)
+        s2, n2 = LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
+                           name="norm2")(s1, residual=a)
+        m = FeedForward(
             dim=self.dim, hidden_dim=self.mlp_dim, dropout=self.dropout,
             activation=self.activation, dtype=self.dtype, name="mlp",
-        )(h, deterministic=deterministic)
-        return x + h
+        )(n2, deterministic=deterministic)
+        return s2, m
 
 
 class _ScanBody(nn.Module):
@@ -312,20 +373,35 @@ class _ScanBody(nn.Module):
     block_kwargs: Any
     remat: bool = False
     deterministic: bool = True
+    fused_residual: bool = False
 
     @nn.compact
-    def __call__(self, x, key_mask, legacy_query_mask):
+    def __call__(self, carry, key_mask, legacy_query_mask):
         block = TransformerBlock(**dict(self.block_kwargs), name="block")
-        if self.remat:
-            det = self.deterministic
+        det = self.deterministic
+        if self.fused_residual:
+            x, pending = carry
+            if self.remat:
+                def body_fn(mdl, xx, pp, km, lqm):
+                    return mdl(xx, km, pending=pp, legacy_query_mask=lqm,
+                               deterministic=det)
 
+                s, m = nn.remat(body_fn)(block, x, pending, key_mask,
+                                         legacy_query_mask)
+            else:
+                s, m = block(x, key_mask, pending=pending,
+                             legacy_query_mask=legacy_query_mask,
+                             deterministic=det)
+            return (s, m), None
+        x = carry
+        if self.remat:
             def body_fn(mdl, xx, km, lqm):
                 return mdl(xx, km, legacy_query_mask=lqm, deterministic=det)
 
             x = nn.remat(body_fn)(block, x, key_mask, legacy_query_mask)
         else:
             x = block(x, key_mask, legacy_query_mask=legacy_query_mask,
-                      deterministic=self.deterministic)
+                      deterministic=det)
         return x, None
 
 
@@ -369,6 +445,13 @@ class Transformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, key_mask=None, *, legacy_query_mask=None, deterministic=True):
+        from bifold_tpu.ops.layer_norm import ln_mode
+
+        # Fused-residual wiring (BIFOLD_LN_KERNEL=fused, trace-time): the
+        # stack carries (residual, pending_delta) and both per-block adds
+        # ride the LayerNorm kernel passes; one add survives at the end.
+        # Param/checkpoint layout is IDENTICAL to the standard wiring.
+        fused_res = ln_mode() == "fused"
         if self.scan_layers and self.depth > 1:
             # Unroll policy (BIFOLD_SCAN_UNROLL overrides; read at trace
             # time). The stacked param layout / checkpoint format is
@@ -393,14 +476,32 @@ class Transformer(nn.Module):
                 in_axes=(nn.broadcast, nn.broadcast),
                 unroll=unroll,
             )
-            x, _ = scan(block_kwargs=tuple(self._block_kwargs().items()),
+            body = scan(block_kwargs=tuple(self._block_kwargs().items()),
                         remat=self.remat, deterministic=bool(deterministic),
-                        name="blocks")(x, key_mask, legacy_query_mask)
+                        fused_residual=fused_res, name="blocks")
+            if fused_res:
+                (s, m), _ = body((x, jnp.zeros_like(x)), key_mask,
+                                 legacy_query_mask)
+                return s + m
+            x, _ = body(x, key_mask, legacy_query_mask)
             return x
         det = bool(deterministic)
+        pending = jnp.zeros_like(x) if fused_res else None
         for i in range(self.depth):
             block = TransformerBlock(**self._block_kwargs(), name=f"block_{i}")
-            if self.remat:
+            if fused_res:
+                if self.remat:
+                    def body_fn(mdl, xx, pp, km, lqm, _det=det):
+                        return mdl(xx, km, pending=pp, legacy_query_mask=lqm,
+                                   deterministic=_det)
+
+                    x, pending = nn.remat(body_fn)(block, x, pending,
+                                                   key_mask, legacy_query_mask)
+                else:
+                    x, pending = block(x, key_mask, pending=pending,
+                                       legacy_query_mask=legacy_query_mask,
+                                       deterministic=det)
+            elif self.remat:
                 def body_fn(mdl, xx, km, lqm, _det=det):
                     return mdl(xx, km, legacy_query_mask=lqm, deterministic=_det)
 
@@ -408,7 +509,7 @@ class Transformer(nn.Module):
             else:
                 x = block(x, key_mask, legacy_query_mask=legacy_query_mask,
                           deterministic=det)
-        return x
+        return x + pending if fused_res else x
 
 
 def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int, cls_token: bool = False):

@@ -37,9 +37,33 @@ had folded into those same passes: the residual adds reappear as standalone
 row-padding glue adds ~+0.9 ms. Net step time 81.2 -> 82.5 ms (bench
 23.55 -> 23.18 samples/s). Same lesson as the reverted upsample stencil
 (CLAUDE.md): at bandwidth-bound shapes, beating XLA's *op* is not enough —
-you must also replace everything XLA fused around it. A future fused
-(residual-add + LN) kernel could reclaim the ~1.5 ms add_add delta, but
-that changes the block structure for a ~2% step win; not taken.
+you must also replace everything XLA fused around it.
+
+The FUSED variant (``BIFOLD_LN_KERNEL=fused``) goes after exactly that
+delta: ``fused_ln_forward`` computes the pre-norm block's residual add
+*inside* the kernel (s = x + delta; y = LN(s)) and the backward folds the
+downstream residual cotangent into the same streaming pass (ds_total =
+ds_out + dLN/ds), so the adds that reappeared as standalone fusions ride
+the bandwidth the kernel already pays. models/layers.py rewires the
+transformer carry to (residual, pending_delta) under this lever — see
+``TransformerBlock.__call__`` — with the param/checkpoint layout unchanged.
+
+ALSO MEASURED, ALSO DEFAULTED OFF (round 3, same method): fused mode is
+82.9 ms/step device busy vs 81.2 default (pallas-only 82.5). Moving the
+residual adds into the kernel does NOT reclaim the gap — XLA's default
+lowering was already fusing those adds into its convert_reduce_fusion LN
+passes, so the fused kernel merely matches XLA's own fusion while still
+paying the pallas-boundary costs around every other neighbor (grown
+fusions, row-pad glue). Net conclusion for this architecture/shape: XLA's
+fused LN neighborhood is the fastest known lowering; both kernel modes
+stay opt-in levers with CPU interpret-mode tests.
+
+Note on the token-dim reductions more broadly (tools/reduce_bench.py,
+measured round 3): in isolation XLA's major-axis ``sum(dy, axis=0)``
+already runs at the HBM roofline (~710 GB/s f32 at (4746, 3072)) and an
+MXU ``ones @ dy`` reduction is time-identical — the 5x-off behavior in the
+full step is a fusion-context effect, not the reduce op itself, so there
+is no win in rewriting dbias reductions as matmuls.
 """
 
 from __future__ import annotations
@@ -52,7 +76,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["ln_forward", "ln_backward", "use_pallas_ln"]
+__all__ = ["ln_forward", "ln_backward", "use_pallas_ln", "ln_mode",
+           "fused_ln_forward", "fused_ln_backward"]
 
 _BLOCK_R = 256
 
@@ -61,13 +86,21 @@ def _flag(name):
     return os.environ.get(name, "").lower() not in ("", "0", "false")
 
 
+def ln_mode() -> str:
+    """'' (XLA default), 'pallas' (kernel LN only), or 'fused' (kernel LN
+    with in-kernel residual adds — see module docstring)."""
+    mode = os.environ.get("BIFOLD_LN_KERNEL", "").lower()
+    return mode if mode in ("pallas", "fused") else ""
+
+
 def use_pallas_ln(c: int) -> bool:
-    """Opt-in via BIFOLD_LN_KERNEL=pallas (default: XLA path — measured
-    faster end-to-end; see module docstring). C must tile the 128-lane dim
-    exactly (C % 128 != 0 always falls back — e.g. 192-wide decoder LNs)."""
+    """Opt-in via BIFOLD_LN_KERNEL=pallas|fused (default: XLA path —
+    measured faster end-to-end; see module docstring). C must tile the
+    128-lane dim exactly (C % 128 != 0 always falls back — e.g. 192-wide
+    decoder LNs)."""
     if c % 128:
         return False
-    return os.environ.get("BIFOLD_LN_KERNEL", "").lower() == "pallas"
+    return ln_mode() != ""
 
 
 def _interpret():
@@ -207,4 +240,122 @@ def ln_backward(x, dy, mean, rstd, scale, block_r: int = _BLOCK_R):
         ),
         interpret=_interpret(),
     )(x2, dy2, mean2, rstd2, scale.reshape(1, c))
+    return dx[:r].reshape(*lead, c), dsc[0], dbi[0]
+
+
+# ---------------------------------------------------------------------------
+# Fused residual-add + LayerNorm
+# ---------------------------------------------------------------------------
+
+
+def _fused_fwd_kernel(x_ref, d_ref, scale_ref, bias_ref,
+                      s_ref, o_ref, mean_ref, rstd_ref, *, eps):
+    # s is rounded to the residual-stream dtype BEFORE the stats so the
+    # normalized output matches the unfused wiring (XLA adds in the compute
+    # dtype, then LN upcasts) bit-for-bit up to reduction order.
+    sf = x_ref[...].astype(jnp.float32) + d_ref[...].astype(jnp.float32)
+    s = sf.astype(s_ref.dtype)
+    s_ref[...] = s
+    x = s.astype(jnp.float32)
+    mean = jnp.mean(x, axis=1, keepdims=True)
+    var = jnp.maximum(jnp.mean(x * x, axis=1, keepdims=True) - mean * mean,
+                      0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    y = (x - mean) * rstd
+    o_ref[...] = (y * scale_ref[...].astype(jnp.float32)
+                  + bias_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+    mean_ref[0, :] = mean[:, 0]
+    rstd_ref[0, :] = rstd[:, 0]
+
+
+def fused_ln_forward(x, delta, scale, bias, eps, block_r: int = _BLOCK_R):
+    """(..., C) x 2 -> (s = x + delta [x.dtype], out = LN(s) [x.dtype],
+    mean (..., 1) f32, rstd (..., 1) f32) in one streaming pass."""
+    lead, c = x.shape[:-1], x.shape[-1]
+    x2, r = _pad_rows(x.reshape(-1, c), block_r)
+    d2, _ = _pad_rows(delta.reshape(-1, c), block_r)
+    r_pad = x2.shape[0]
+    grid = (r_pad // block_r,)
+
+    row_spec = pl.BlockSpec((block_r, c), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    par_spec = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    stat_spec = pl.BlockSpec((1, block_r), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    s, out, mean, rstd = pl.pallas_call(
+        functools.partial(_fused_fwd_kernel, eps=eps),
+        grid=grid,
+        in_specs=[row_spec, row_spec, par_spec, par_spec],
+        out_specs=(row_spec, row_spec, stat_spec, stat_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((r_pad, c), x.dtype),
+            jax.ShapeDtypeStruct((r_pad, c), x.dtype),
+            jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, r_pad), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(x2, d2, scale.reshape(1, c), bias.reshape(1, c))
+    return (s[:r].reshape(*lead, c), out[:r].reshape(*lead, c),
+            mean[0, :r].reshape(*lead, 1), rstd[0, :r].reshape(*lead, 1))
+
+
+def _fused_bwd_kernel(s_ref, dy_ref, ds_ref, mean_ref, rstd_ref, scale_ref,
+                      dx_ref, dsc_ref, dbi_ref):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dsc_ref[...] = jnp.zeros_like(dsc_ref)
+        dbi_ref[...] = jnp.zeros_like(dbi_ref)
+
+    x = s_ref[...].astype(jnp.float32)                       # (R, C)
+    dy = dy_ref[...].astype(jnp.float32)
+    mean = mean_ref[0, :][:, None]
+    rstd = rstd_ref[0, :][:, None]
+    xhat = (x - mean) * rstd
+    dsc_ref[...] += jnp.sum(dy * xhat, axis=0, keepdims=True)
+    dbi_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+    dxhat = dy * scale_ref[...].astype(jnp.float32)
+    dx = rstd * (dxhat
+                 - jnp.mean(dxhat, axis=1, keepdims=True)
+                 - xhat * jnp.mean(dxhat * xhat, axis=1, keepdims=True))
+    # fold the downstream residual-stream cotangent into the same pass
+    dx_ref[...] = (dx + ds_ref[...].astype(jnp.float32)).astype(dx_ref.dtype)
+
+
+def fused_ln_backward(s, dy, ds_out, mean, rstd, scale,
+                      block_r: int = _BLOCK_R):
+    """Backward of fused_ln_forward: ds_total = ds_out + dLN(s)/ds · dy
+    (the gradient w.r.t. BOTH x and delta), plus (dscale, dbias) f32."""
+    lead, c = s.shape[:-1], s.shape[-1]
+    s2, r = _pad_rows(s.reshape(-1, c), block_r)
+    dy2, _ = _pad_rows(dy.reshape(-1, c), block_r)
+    ds2, _ = _pad_rows(ds_out.reshape(-1, c), block_r)
+    stats_pad = (-r) % block_r
+    mean2 = jnp.pad(mean.reshape(1, -1), ((0, 0), (0, stats_pad)))
+    rstd2 = jnp.pad(rstd.reshape(1, -1), ((0, 0), (0, stats_pad)))
+    r_pad = s2.shape[0]
+    grid = (r_pad // block_r,)
+
+    row_spec = pl.BlockSpec((block_r, c), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    par_spec = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    stat_spec = pl.BlockSpec((1, block_r), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    dx, dsc, dbi = pl.pallas_call(
+        _fused_bwd_kernel,
+        grid=grid,
+        in_specs=[row_spec, row_spec, row_spec, stat_spec, stat_spec,
+                  par_spec],
+        out_specs=(
+            row_spec,
+            # index map ignores the grid axis -> VMEM-resident accumulators
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r_pad, c), s.dtype),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(s2, dy2, ds2, mean2, rstd2, scale.reshape(1, c))
     return dx[:r].reshape(*lead, c), dsc[0], dbi[0]

@@ -75,3 +75,87 @@ def test_non_multiple_of_128_channels_fall_back(pallas_ln):
 def test_default_is_xla(monkeypatch):
     monkeypatch.delenv("BIFOLD_LN_KERNEL", raising=False)
     assert not lnk.use_pallas_ln(768)
+    assert lnk.ln_mode() == ""
+
+
+@pytest.fixture()
+def fused_ln(monkeypatch):
+    monkeypatch.setenv("BIFOLD_LN_KERNEL", "fused")
+    monkeypatch.setenv("BIFOLD_LN_INTERPRET", "1")
+
+
+@pytest.mark.parametrize("shape,dtype", [
+    ((2, 321, 768), jnp.float32),    # ragged rows
+    ((4, 576, 768), jnp.bfloat16),   # bf16 residual stream
+])
+def test_fused_add_ln_matches_unfused(fused_ln, shape, dtype):
+    from bifold_tpu.models.layers import _fused_add_ln
+
+    x, scale, bias, w = _inputs(shape, jax.random.key(1), dtype)
+    delta = (jax.random.normal(jax.random.key(2), shape, jnp.float32)
+             * 0.3).astype(dtype)
+    w2 = jax.random.normal(jax.random.key(3), shape)
+
+    def loss_fused(x, delta, scale, bias):
+        s, y = _fused_add_ln(x, delta, scale, bias, 1e-6)
+        # both outputs used -> both cotangents (ds_out and dy) exercised
+        return jnp.sum(y.astype(jnp.float32) * w) + \
+            jnp.sum(s.astype(jnp.float32) * w2)
+
+    def loss_ref(x, delta, scale, bias):
+        s = x + delta
+        y = _layer_norm(s, scale, bias, 1e-6)
+        return jnp.sum(y.astype(jnp.float32) * w) + \
+            jnp.sum(s.astype(jnp.float32) * w2)
+
+    s, y = jax.jit(lambda *a: _fused_add_ln(*a, 1e-6))(x, delta, scale, bias)
+    grads = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2, 3)))(
+        x, delta, scale, bias)
+
+    import os
+    os.environ["BIFOLD_LN_KERNEL"] = ""          # reference path: plain XLA
+    exp_s = (x.astype(jnp.float32) + delta.astype(jnp.float32)).astype(dtype)
+    np.testing.assert_array_equal(np.asarray(s, np.float32),
+                                  np.asarray(exp_s, np.float32))
+    ref_y = _layer_norm(exp_s, scale, bias, 1e-6)
+    gref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, delta, scale, bias)
+
+    tol = dict(rtol=2e-2, atol=4e-2) if dtype == jnp.bfloat16 \
+        else dict(rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(y, np.float32),
+                               np.asarray(ref_y, np.float32), **tol)
+    for g, gr in zip(grads, gref):
+        gtol = tol if np.asarray(g).dtype == np.dtype("bfloat16") else \
+            dict(rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(gr, np.float32), **gtol)
+
+
+@pytest.mark.parametrize("scan_layers", [True, False])
+def test_fused_transformer_wiring_matches_default(fused_ln, scan_layers):
+    """The (residual, pending_delta) carry rewiring under
+    BIFOLD_LN_KERNEL=fused is numerically the standard pre-norm stack."""
+    import os
+
+    from bifold_tpu.models.layers import Transformer
+
+    tf = Transformer(dim=128, depth=3, heads=4, mlp_dim=256,
+                     scan_layers=scan_layers)
+    x = jax.random.normal(jax.random.key(0), (2, 17, 128))
+    mask = jnp.ones((2, 17), jnp.int32)
+    params = tf.init(jax.random.key(1), x, mask)
+
+    def loss(p, x):
+        return jnp.sum(tf.apply(p, x, mask).astype(jnp.float32) ** 2)
+
+    out_fused = jax.jit(tf.apply)(params, x, mask)
+    g_fused = jax.jit(jax.grad(loss, argnums=1))(params, x)
+
+    os.environ["BIFOLD_LN_KERNEL"] = ""
+    out_ref = jax.jit(tf.apply)(params, x, mask)
+    g_ref = jax.jit(jax.grad(loss, argnums=1))(params, x)
+
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
