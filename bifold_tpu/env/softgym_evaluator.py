@@ -28,7 +28,8 @@ from bifold_tpu.env.demonstrators import Demonstrator
 from bifold_tpu.metrics.utils import iou
 
 __all__ = ["task_to_cloth_type", "SoftgymEvaluator", "SoftgymSingleEvaluator",
-           "run_softgym_eval", "batchify"]
+           "SoftgymParallelEvaluator", "run_softgym_eval", "batchify",
+           "batchify_many"]
 
 task_to_cloth_type = {
     "CornerFold": "Square",
@@ -49,6 +50,19 @@ def batchify(sample: Dict) -> Dict:
             out[k] = v[None]
         else:
             out[k] = [v]
+    return out
+
+
+def batchify_many(samples: List[Dict], pad_to: Optional[int] = None) -> Dict:
+    """Stack N per-sample processor outputs into one batch-N dict; ``pad_to``
+    repeats the last sample so every policy call compiles at ONE fixed batch
+    shape (padded rows are discarded by the caller)."""
+    if pad_to and pad_to > len(samples):
+        samples = list(samples) + [samples[-1]] * (pad_to - len(samples))
+    out = {}
+    for k, v0 in samples[0].items():
+        vs = [s[k] for s in samples]
+        out[k] = np.stack(vs) if isinstance(v0, np.ndarray) else list(vs)
     return out
 
 
@@ -92,23 +106,34 @@ class SoftgymEvaluator:
         self.cached_states = config_data["states"]
         self.cached_keypoints = config_data.get("keypoints")
 
+    def reset_env(self, env, config, state, task: Optional[str] = None,
+                  random_angle: Optional[float] = None,
+                  max_wait_step: int = 120,
+                  stable_vel_threshold: float = 0.2):
+        """Reset one env instance (the parallel evaluator owns a pool);
+        returns the fresh demonstrator whose speeds configured the env."""
+        demonstrator = Demonstrator[task]()
+        env.reset(config=config, state=state, cloth3d=self.cloth3d,
+                  pick_speed=demonstrator.pick_speed,
+                  move_speed=demonstrator.move_speed,
+                  place_speed=demonstrator.place_speed,
+                  lift_height=demonstrator.lift_height)
+        if random_angle:
+            rotate_particles(env, [0, random_angle, 0])
+            for _ in range(max_wait_step):
+                env.sim.step()
+                if np.all(np.abs(env.sim.get_velocities())
+                          < stable_vel_threshold):
+                    break
+        return demonstrator
+
     def reset(self, config, state, task: Optional[str] = None,
               random_angle: Optional[float] = None, max_wait_step: int = 120,
               stable_vel_threshold: float = 0.2) -> None:
-        self.demonstrator = Demonstrator[task]()
-        self.env.reset(config=config, state=state, cloth3d=self.cloth3d,
-                       pick_speed=self.demonstrator.pick_speed,
-                       move_speed=self.demonstrator.move_speed,
-                       place_speed=self.demonstrator.place_speed,
-                       lift_height=self.demonstrator.lift_height)
+        self.demonstrator = self.reset_env(
+            self.env, config, state, task, random_angle, max_wait_step,
+            stable_vel_threshold)
         self.task = task or ""
-        if random_angle:
-            rotate_particles(self.env, [0, random_angle, 0])
-            for _ in range(max_wait_step):
-                self.env.sim.step()
-                if np.all(np.abs(self.env.sim.get_velocities())
-                          < stable_vel_threshold):
-                    break
 
     def close(self) -> None:
         self.env.close()
@@ -198,16 +223,18 @@ class SoftgymSingleEvaluator(SoftgymEvaluator):
 
     # ------------------------------------------------------------------
 
-    def execute_oracle(self, pick_idxs, place_idxs, gammas, keypoints_index):
+    def execute_oracle(self, pick_idxs, place_idxs, gammas, keypoints_index,
+                       env=None):
+        env = env if env is not None else self.env
         oracle_results, oracle_masks = [], []
         for pick_idx, place_idx, gamma in zip(pick_idxs, place_idxs, gammas):
-            keypoints_pos = self.env.get_keypoints(keypoints_index)
+            keypoints_pos = env.get_keypoints(keypoints_index)
             pick_pos = keypoints_pos[pick_idx]
             place_pos = pick_pos + gamma * (keypoints_pos[place_idx] - pick_pos)
-            self.env.pick_and_place_single(pick_pos.copy(), place_pos.copy())
-            _, depth = self.env.render_image()
+            env.pick_and_place_single(pick_pos.copy(), place_pos.copy())
+            _, depth = env.render_image()
             oracle_masks.append(get_mask_from_depth(depth))
-            oracle_results.append(self.env.sim.get_positions()[:, :3])
+            oracle_results.append(env.sim.get_positions()[:, :3])
         return oracle_results, oracle_masks
 
     def execute_model(self, eval_data, keypoints_index, eval_index, eval_name,
@@ -261,6 +288,193 @@ class SoftgymSingleEvaluator(SoftgymEvaluator):
                     eval_name].append((iou_value > thresh) * 100)
 
 
+class SoftgymParallelEvaluator(SoftgymSingleEvaluator):
+    """Lockstep multi-env closed-loop eval: K trials at once, ONE batched
+    policy call per action step.
+
+    TPU-native addition — the reference evaluates strictly sequentially at
+    batch 1 (softgym_evaluator.py:161-254), where rollout inference is
+    dominated by per-call dispatch + host<->device transfer latency, not by
+    model FLOPs. Stepping a pool of env instances in lockstep and batching
+    the live trials' observations into one fixed-shape device call amortizes
+    that latency pool-fold (the sim stepping stays host-side and sequential;
+    on multi-core hosts it is embarrassingly parallel across envs).
+
+    Protocol parity: the trial parameters consume the SAME np.random stream
+    and the instructions the SAME global-`random` stream, in the same order,
+    as SoftgymSingleEvaluator (configs/angles first per trial, then one
+    get_eval_instruction per trial — the two streams are independent), and
+    the per-action metric definitions are identical — so with a
+    deterministic policy ``summary()`` matches the sequential evaluator
+    exactly (tests/test_parallel_eval.py). Policy batches are padded to the
+    pool size so the jitted model path compiles at one batch shape.
+    """
+
+    def __init__(self, cache_dir: str, policy: Callable, processor,
+                 image_size: int = 224, particle_radius: float = 0.00625,
+                 visualize_predictions: bool = False,
+                 run_dir: Optional[str] = None, pool: int = 8):
+        super().__init__(cache_dir, policy, processor, image_size,
+                         particle_radius, visualize_predictions, run_dir)
+        self.pool = max(1, int(pool))
+        self.envs = [self.env] + [
+            ClothEnv(render_dim=image_size, particle_radius=particle_radius,
+                     dump_visualizations=visualize_predictions)
+            for _ in range(self.pool - 1)]
+
+    def close(self) -> None:
+        for env in self.envs:
+            env.close()
+
+    def evaluate(self, num_evals: int, task: str,
+                 seed: Optional[int] = None) -> None:
+        cloth_type = task_to_cloth_type[task]
+        self.cloth3d = cloth_type not in ("Square", "Rectangular")
+        self.load_cache(cloth_type)
+        rng = np.random.default_rng(seed)
+        self.task = task
+
+        if task not in self.success:
+            self.success[task] = {}
+            for k in (["error", "iou"]
+                      + [f"iou_success_{t}" for t in self.iou_thresholds]):
+                self.additional_metrics.setdefault(k, {})[task] = {}
+
+        # Trial parameters in the sequential evaluator's exact rng order
+        # (np stream: config index + angle per trial)...
+        trials = []
+        for _ in range(num_evals):
+            rand_idx = int(rng.integers(len(self.cached_configs)))
+            if task == "StraightFold":
+                random_angle = float(rng.uniform(-80, 80))
+            elif self.cloth3d:
+                random_angle = float(rng.uniform(-40, 40))
+            else:
+                random_angle = float(rng.uniform(0, 40))
+            trials.append((rand_idx, random_angle))
+        # ...then instructions in trial order (global `random` stream; the
+        # only consumer, so the interleaving with np draws is irrelevant)
+        eval_datas_per_trial = []
+        for _, angle in trials:
+            demonstrator = Demonstrator[task]()
+            if task == "StraightFold":
+                angle_mode = int(abs(angle) > 45) + int(angle < -45)
+                eval_datas_per_trial.append(
+                    demonstrator.get_eval_instruction(angle_mode))
+            else:
+                eval_datas_per_trial.append(
+                    demonstrator.get_eval_instruction())
+
+        for start in range(0, num_evals, self.pool):
+            self._run_group(task, trials[start:start + self.pool],
+                            eval_datas_per_trial[start:start + self.pool])
+
+    # ------------------------------------------------------------------
+
+    def _run_group(self, task: str, trials, eval_datas_per_trial) -> None:
+        group = []
+        for env, (rand_idx, angle), eval_datas in zip(
+                self.envs, trials, eval_datas_per_trial):
+            group.append(dict(env=env, angle=angle, rand_idx=rand_idx,
+                              config=self.cached_configs[rand_idx],
+                              state=self.cached_states[rand_idx],
+                              eval_datas=eval_datas))
+
+        for eval_index, eval_name in enumerate(["si", "usi", "ut"]):
+            if eval_name not in self.success[task]:
+                self.success[task][eval_name] = []
+                for k in self.additional_metrics:
+                    self.additional_metrics[k][task][eval_name] = []
+
+            # oracle rollouts: sim-bound, no policy calls
+            for g in group:
+                self.reset_env(g["env"], g["config"], g["state"], task,
+                               g["angle"])
+                if self.cloth3d and self.cached_keypoints is not None:
+                    g["kp"] = self.cached_keypoints[g["rand_idx"]]
+                else:
+                    g["kp"] = g["env"].get_square_keypoints_idx()
+                ed = g["eval_datas"][eval_index]
+                g["eval_data"] = ed
+                g["oracle_results"], g["oracle_masks"] = self.execute_oracle(
+                    ed["pick"], ed["place"], ed["gammas"], g["kp"],
+                    env=g["env"])
+
+            # model rollouts in lockstep, policy batched across the pool
+            for g in group:
+                self.reset_env(g["env"], g["config"], g["state"], task,
+                               g["angle"])
+                rgb, depth = g["env"].render_image()
+                g.update(rgb=rgb, depth=depth,
+                         mask=get_mask_from_depth(depth), context=[])
+
+            max_len = max(len(g["eval_data"]["pick"]) for g in group)
+            for action_index in range(max_len):
+                live = [g for g in group
+                        if action_index < len(g["eval_data"]["pick"])]
+                model_gs, samples = [], []
+                for g in live:
+                    flag = g["eval_data"]["flags"][action_index]
+                    # regime dispatch identical to execute_model above
+                    g["model_turn"] = ((flag == 0) if eval_index < 2
+                                       else (flag == 1))
+                    if g["model_turn"]:
+                        samples.append(self.processor(
+                            depth=g["depth"],
+                            instruction=g["eval_data"]["instructions"][
+                                action_index],
+                            rgb=g["rgb"], mask=g["mask"],
+                            context=g["context"],
+                            matrix_world_to_camera=g["env"].camera_matrix,
+                            K=self.K))
+                        model_gs.append(g)
+                actions = None
+                if samples:
+                    actions, _raw = self.policy(
+                        batchify_many(samples, pad_to=self.pool))
+                for g in live:
+                    self._advance_trial(g, action_index, actions,
+                                        model_gs, eval_name)
+
+    def _advance_trial(self, g, action_index, actions, model_gs,
+                       eval_name) -> None:
+        ed = g["eval_data"]
+        if g["model_turn"]:
+            i = model_gs.index(g)
+            pick_px = np.asarray(actions.pick)[i].reshape(-1)[:2]
+            place_px = np.asarray(actions.place)[i].reshape(-1)[:2]
+            pick_pos = g["env"].get_world_coord_from_pixel(pick_px,
+                                                           g["depth"])
+            place_pos = g["env"].get_world_coord_from_pixel(place_px,
+                                                            g["depth"])
+        else:
+            keypoints_pos = g["env"].get_keypoints(g["kp"])
+            pick_pos = keypoints_pos[ed["pick"][action_index]]
+            place_pos = pick_pos + ed["gammas"][action_index] * (
+                keypoints_pos[ed["place"][action_index]] - pick_pos)
+
+        g["env"].pick_and_place_single(np.array(pick_pos),
+                                       np.array(place_pos))
+        g["context"].append({"rgb": g["rgb"].copy(),
+                             "depth": g["depth"].copy(),
+                             "mask": g["mask"].copy()})
+        rgb, depth = g["env"].render_image()
+        g.update(rgb=rgb, depth=depth, mask=get_mask_from_depth(depth))
+
+        particle_pos = g["env"].sim.get_positions()[:, :3]
+        error = float(np.linalg.norm(
+            g["oracle_results"][action_index] - particle_pos, axis=1).mean())
+        success = error < self.error_threshold
+        iou_value = iou(g["mask"], g["oracle_masks"][action_index])
+
+        self.success[self.task][eval_name].append(success)
+        self.additional_metrics["error"][self.task][eval_name].append(error)
+        self.additional_metrics["iou"][self.task][eval_name].append(iou_value)
+        for thresh in self.iou_thresholds:
+            self.additional_metrics[f"iou_success_{thresh}"][self.task][
+                eval_name].append((iou_value > thresh) * 100)
+
+
 def run_softgym_eval(trainer) -> tuple:
     """Trainer adapter: run all 5 unimanual tasks (or the bimanual replay eval
     for bimanual models) and return (has_improved, metric_dict) like
@@ -288,11 +502,14 @@ def run_softgym_eval(trainer) -> tuple:
             return has_improved, {f"pixel_fallback/{k}": v
                                    for k, v in metrics.items()}
     else:
-        evaluator = SoftgymSingleEvaluator(
+        pool = int(cfg.get("eval_parallel_envs", 1) or 1)
+        cls = SoftgymParallelEvaluator if pool > 1 else SoftgymSingleEvaluator
+        extra = {"pool": pool} if pool > 1 else {}
+        evaluator = cls(
             cache_dir=cfg["softgym_cache"], policy=policy,
             processor=trainer.processor,
             image_size=int(dict(cfg["model"])["image_size"]),
-            run_dir=str(trainer.run_dir))
+            run_dir=str(trainer.run_dir), **extra)
         for task in TASKS:
             evaluator.evaluate(num_evals=int(cfg.get("num_evals", 50)),
                                task=task, seed=int(cfg.get("seed", 0)))
