@@ -15,15 +15,18 @@ our cache tooling, or converted from the reference's bimanual cache).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Callable, Dict, Optional
 
 import numpy as np
 
 from bifold_tpu.data.utils import get_mask_from_depth
-from bifold_tpu.env.softgym_evaluator import SoftgymEvaluator, batchify
+from bifold_tpu.env.cloth_env import ClothEnv
+from bifold_tpu.env.softgym_evaluator import (SoftgymEvaluator, batchify,
+                                              batchify_many)
 from bifold_tpu.metrics.utils import iou
 
-__all__ = ["SoftgymBimanualEvaluator", "SoftgymBimanualRolloutEvaluator",
+__all__ = ["SoftgymBimanualEvaluator", "SoftgymBimanualParallelEvaluator",
+           "SoftgymBimanualRolloutEvaluator",
            "SoftgymBimanualRolloutEvaluatorDeng"]
 
 
@@ -37,17 +40,20 @@ class SoftgymBimanualEvaluator(SoftgymEvaluator):
         for idx in range(len(samples["frame_start"])):
             name = samples["frame_start"][idx]
             self.task = name.split("_")[1] if "_" in name else name
-            if self.task not in self.success:
-                self.success[self.task] = []
-                for k in (["error", "iou"]
-                          + [f"iou_success_{t}" for t in self.iou_thresholds]):
-                    self.additional_metrics.setdefault(k, {})[self.task] = []
+            self._ensure_task(self.task)
             config = self.cached_configs[name]
             state = self.cached_states[name]
             keypoints = self.cached_keypoints[name]
 
             oracle_result, oracle_mask = self.execute_oracle(keypoints, config, state)
             self.execute_model(samples, idx, name, oracle_result, oracle_mask)
+
+    def _ensure_task(self, task: str) -> None:
+        if task not in self.success:
+            self.success[task] = []
+            for k in (["error", "iou"]
+                      + [f"iou_success_{t}" for t in self.iou_thresholds]):
+                self.additional_metrics.setdefault(k, {})[task] = []
 
     @staticmethod
     def _collect_samples(dataloader, limit: Optional[int]) -> Dict:
@@ -72,81 +78,151 @@ class SoftgymBimanualEvaluator(SoftgymEvaluator):
 
     # ------------------------------------------------------------------
 
-    def execute_oracle(self, keypoints: Dict, config, state):
-        self.reset(config=config, state=state)
-        pos = self.env.get_keypoints()
+    def execute_oracle(self, keypoints: Dict, config, state, env=None):
+        env = env if env is not None else self.env
+        self.reset_env(env, config, state)
+        pos = env.get_keypoints()
         lp = keypoints.get("left_pick_idx")
         rp = keypoints.get("right_pick_idx")
         if lp is not None and rp is not None:
-            self.env.pick_and_place_dual(
+            env.pick_and_place_dual(
                 pos[lp], pos[keypoints["left_place_idx"]],
                 pos[rp], pos[keypoints["right_place_idx"]])
         elif lp is not None:
-            self.env.pick_and_place_single(pos[lp], pos[keypoints["left_place_idx"]])
+            env.pick_and_place_single(pos[lp], pos[keypoints["left_place_idx"]])
         else:
             assert rp is not None
-            self.env.pick_and_place_single(pos[rp], pos[keypoints["right_place_idx"]])
-        _, depth = self.env.render_image()
-        return (self.env.sim.get_positions()[:, :3],
+            env.pick_and_place_single(pos[rp], pos[keypoints["right_place_idx"]])
+        _, depth = env.render_image()
+        return (env.sim.get_positions()[:, :3],
                 get_mask_from_depth(depth))
 
-    def execute_model(self, samples, idx, name, oracle_result, oracle_mask) -> None:
+    def _model_sample(self, samples, idx, name, env):
+        """Reconstruct context frames by replaying their cached states, reset
+        to the start frame, render, and build the processor sample."""
         context = None
         if "context" in samples:
             context = []
             for ctx in str(samples["context"][idx]).split("+"):
                 if ctx:
-                    self.reset(config=self.cached_configs[ctx],
-                               state=self.cached_states[ctx])
-                    rgb, depth = self.env.render_image()
+                    self.reset_env(env, self.cached_configs[ctx],
+                                   self.cached_states[ctx])
+                    rgb, depth = env.render_image()
                     context.append({"rgb": rgb, "depth": depth,
                                     "mask": get_mask_from_depth(depth)})
 
-        self.reset(config=self.cached_configs[name],
-                   state=self.cached_states[name])
-        rgb, depth = self.env.render_image()
+        self.reset_env(env, self.cached_configs[name],
+                       self.cached_states[name])
+        rgb, depth = env.render_image()
         mask = get_mask_from_depth(depth)
         sample = self.processor(
             depth=depth, rgb=rgb, mask=mask, context=context,
             instruction=samples["raw_instruction"][idx],
-            matrix_world_to_camera=self.env.camera_matrix, K=self.K)
+            matrix_world_to_camera=env.camera_matrix, K=self.K)
+        return sample, depth
 
-        action, _raw = self.policy(batchify(sample))
-        lp = np.asarray(action.left_pick).reshape(-1)[:2]
-        lpl = np.asarray(action.left_place).reshape(-1)[:2]
-        rp = np.asarray(action.right_pick).reshape(-1)[:2]
-        rpl = np.asarray(action.right_place).reshape(-1)[:2]
+    def _apply_and_score(self, env, action, row: int, depth, task: str,
+                         oracle_result, oracle_mask) -> None:
+        """Execute one (possibly batched) Action row on ``env`` with the
+        dual-or-single-arm DUMMY dispatch (reference :519-540) and record
+        the metrics under ``task``."""
+        lp = np.asarray(action.left_pick).reshape(-1, 2)[row]
+        lpl = np.asarray(action.left_place).reshape(-1, 2)[row]
+        rp = np.asarray(action.right_pick).reshape(-1, 2)[row]
+        rpl = np.asarray(action.right_place).reshape(-1, 2)[row]
 
         left_ok = np.all(lp >= 0) and np.all(lpl >= 0)
         right_ok = np.all(rp >= 0) and np.all(rpl >= 0)
         if left_ok and right_ok:
-            self.env.pick_and_place_dual(
-                self.env.get_world_coord_from_pixel(lp, depth),
-                self.env.get_world_coord_from_pixel(lpl, depth),
-                self.env.get_world_coord_from_pixel(rp, depth),
-                self.env.get_world_coord_from_pixel(rpl, depth))
+            env.pick_and_place_dual(
+                env.get_world_coord_from_pixel(lp, depth),
+                env.get_world_coord_from_pixel(lpl, depth),
+                env.get_world_coord_from_pixel(rp, depth),
+                env.get_world_coord_from_pixel(rpl, depth))
         elif right_ok:
-            self.env.pick_and_place_single(
-                self.env.get_world_coord_from_pixel(rp, depth),
-                self.env.get_world_coord_from_pixel(rpl, depth))
+            env.pick_and_place_single(
+                env.get_world_coord_from_pixel(rp, depth),
+                env.get_world_coord_from_pixel(rpl, depth))
         else:
             assert left_ok, "confidence gating must leave at least one arm active"
-            self.env.pick_and_place_single(
-                self.env.get_world_coord_from_pixel(lp, depth),
-                self.env.get_world_coord_from_pixel(lpl, depth))
+            env.pick_and_place_single(
+                env.get_world_coord_from_pixel(lp, depth),
+                env.get_world_coord_from_pixel(lpl, depth))
 
-        particle_pos = self.env.sim.get_positions()[:, :3]
-        _, depth = self.env.render_image()
+        particle_pos = env.sim.get_positions()[:, :3]
+        _, depth = env.render_image()
         mask = get_mask_from_depth(depth)
 
         error = float(np.linalg.norm(oracle_result - particle_pos, axis=1).mean())
         iou_value = iou(mask, oracle_mask)
-        self.success[self.task].append(error < self.error_threshold)
-        self.additional_metrics["error"][self.task].append(error)
-        self.additional_metrics["iou"][self.task].append(iou_value)
+        self.success[task].append(error < self.error_threshold)
+        self.additional_metrics["error"][task].append(error)
+        self.additional_metrics["iou"][task].append(iou_value)
         for thresh in self.iou_thresholds:
-            self.additional_metrics[f"iou_success_{thresh}"][self.task].append(
+            self.additional_metrics[f"iou_success_{thresh}"][task].append(
                 (iou_value > thresh) * 100)
+
+    def execute_model(self, samples, idx, name, oracle_result, oracle_mask) -> None:
+        sample, depth = self._model_sample(samples, idx, name, self.env)
+        action, _raw = self.policy(batchify(sample))
+        self._apply_and_score(self.env, action, 0, depth, self.task,
+                              oracle_result, oracle_mask)
+
+
+class SoftgymBimanualParallelEvaluator(SoftgymBimanualEvaluator):
+    """Lockstep bimanual replay eval over an env pool: each group of K test
+    samples runs oracle + context reconstruction on its own env, then ONE
+    padded pool-size policy call serves all K model actions.
+
+    The replay protocol has no RNG, so batched == sequential by
+    construction with a deterministic policy (tests/test_parallel_eval.py).
+    Same rationale as SoftgymParallelEvaluator: batch-1 rollout inference is
+    dispatch-latency-bound, and the flagship BiFold model is bimanual, so
+    this is where the pool pays off in practice."""
+
+    def __init__(self, cache_dir: str, policy: Callable, processor,
+                 image_size: int = 224, particle_radius: float = 0.00625,
+                 visualize_predictions: bool = False,
+                 run_dir: Optional[str] = None, pool: int = 8):
+        super().__init__(cache_dir, policy, processor, image_size,
+                         particle_radius, visualize_predictions, run_dir)
+        self.pool = max(1, int(pool))
+        self.envs = [self.env] + [
+            ClothEnv(render_dim=image_size, particle_radius=particle_radius,
+                     dump_visualizations=visualize_predictions)
+            for _ in range(self.pool - 1)]
+
+    def close(self) -> None:
+        for env in self.envs:
+            env.close()
+
+    def evaluate(self, dataloader=None, samples: Optional[Dict] = None,
+                 num_evals: Optional[int] = None, **_) -> None:
+        self.cloth3d = True
+        self.load_cache("bimanual")
+        if samples is None:
+            samples = self._collect_samples(dataloader, num_evals)
+        n = len(samples["frame_start"])
+        for start in range(0, n, self.pool):
+            group = []
+            for env, idx in zip(self.envs,
+                                range(start, min(start + self.pool, n))):
+                name = samples["frame_start"][idx]
+                task = name.split("_")[1] if "_" in name else name
+                self._ensure_task(task)
+                oracle_result, oracle_mask = self.execute_oracle(
+                    self.cached_keypoints[name], self.cached_configs[name],
+                    self.cached_states[name], env=env)
+                sample, depth = self._model_sample(samples, idx, name, env)
+                group.append(dict(env=env, task=task, sample=sample,
+                                  depth=depth, oracle_result=oracle_result,
+                                  oracle_mask=oracle_mask))
+            action, _raw = self.policy(batchify_many(
+                [g["sample"] for g in group], pad_to=self.pool))
+            for row, g in enumerate(group):
+                self._apply_and_score(g["env"], action, row, g["depth"],
+                                      g["task"], g["oracle_result"],
+                                      g["oracle_mask"])
 
 
 def _dual_arm_rollout_step(evaluator, sample: Dict, depth: np.ndarray) -> None:

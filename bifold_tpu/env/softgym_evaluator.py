@@ -86,6 +86,7 @@ class SoftgymEvaluator:
         self.success: Dict = {}
         self.additional_metrics: Dict = {}
         self.cloth3d = False
+        self.task = ""
 
     # ------------------------------------------------------------------
 
@@ -133,7 +134,12 @@ class SoftgymEvaluator:
         self.demonstrator = self.reset_env(
             self.env, config, state, task, random_angle, max_wait_step,
             stable_vel_threshold)
-        self.task = task or ""
+        # task=None must NOT clobber a task set by the caller: the bimanual
+        # replay evaluator assigns self.task from the frame name and then
+        # resets (oracle, context frames, model start) with no task arg —
+        # clobbering to "" sent its metric appends to a missing key
+        if task is not None:
+            self.task = task
 
     def close(self) -> None:
         self.env.close()
@@ -482,12 +488,17 @@ def run_softgym_eval(trainer) -> tuple:
     cfg = trainer.cfg
     policy = lambda batch: trainer.get_action(batch, return_raw_output=True)  # noqa: E731
     if trainer.model.is_bimanual:
-        from bifold_tpu.env.bimanual_evaluator import SoftgymBimanualEvaluator
-        evaluator = SoftgymBimanualEvaluator(
+        from bifold_tpu.env.bimanual_evaluator import (
+            SoftgymBimanualEvaluator, SoftgymBimanualParallelEvaluator)
+        pool = int(cfg.get("eval_parallel_envs", 1) or 1)
+        cls = (SoftgymBimanualParallelEvaluator if pool > 1
+               else SoftgymBimanualEvaluator)
+        extra = {"pool": pool} if pool > 1 else {}
+        evaluator = cls(
             cache_dir=cfg["softgym_cache"], policy=policy,
             processor=trainer.processor,
             image_size=int(dict(cfg["model"])["image_size"]),
-            run_dir=str(trainer.run_dir))
+            run_dir=str(trainer.run_dir), **extra)
         try:
             evaluator.evaluate(dataloader=trainer.test_dataloader,
                                num_evals=int(cfg.get("num_evals", 50)))

@@ -96,6 +96,129 @@ def test_parallel_matches_sequential(tmp_path):
     assert sizes and all(s == pool for s in sizes)
 
 
+def _bimanual_policy(batch_sizes=None, dummy_right=False):
+    """Deterministic bimanual policy: left pick = mask centroid, right pick
+    = centroid shifted; DUMMY right arm when requested (single-arm path)."""
+
+    def policy(batch):
+        masks = np.asarray(batch["mask"])
+        if batch_sizes is not None:
+            batch_sizes.append(masks.shape[0])
+        lp, rp = [], []
+        for m in masks[:, 0]:
+            ys, xs = np.nonzero(m > 0)
+            if len(xs) == 0:
+                ys = xs = np.array([32])
+            lp.append([xs.mean() - 3, ys.mean()])
+            rp.append([xs.mean() + 3, ys.mean()])
+        lp, rp = np.array(lp), np.array(rp)
+        if dummy_right:
+            rp = np.full_like(rp, -1.0)
+            return Action(left_pick=lp, left_place=lp + 2,
+                          right_pick=rp, right_place=rp), None
+        return Action(left_pick=lp, left_place=lp + 2,
+                      right_pick=rp, right_place=rp + 2), None
+
+    return policy
+
+
+def _bimanual_cache(tmp_path, n_samples=3):
+    """Fake bimanual.pkl keyed by frame names, built from the procedural
+    Tshirt garment cache (left/right pick = sleeves, place = hems)."""
+    import pickle
+
+    from bifold_tpu.env.cache_builder import build_cache
+
+    p = build_cache("Tshirt", tmp_path, n_configs=2, settle_steps=10)
+    with open(p, "rb") as f:
+        data = pickle.load(f)
+    names = [f"{i:04d}_Tshirt_f{i}" for i in range(1, n_samples + 1)]
+    configs, states, kps = {}, {}, {}
+    for i, name in enumerate(names):
+        j = i % 2
+        kp = data["keypoints"][j]
+        configs[name] = data["configs"][j]
+        states[name] = data["states"][j]
+        kps[name] = {"left_pick_idx": kp[2], "left_place_idx": kp[6],
+                     "right_pick_idx": kp[5], "right_place_idx": kp[7]}
+    with open(tmp_path / "bimanual.pkl", "wb") as f:
+        pickle.dump({"configs": configs, "states": states,
+                     "keypoints": kps}, f)
+    ctx = ([names[0]] + [f"{names[0]}+{names[1]}"] * (n_samples - 1)
+           if n_samples > 1 else [names[0]])
+    samples = {"frame_start": names,
+               "raw_instruction": [f"fold the tshirt {i}"
+                                   for i in range(n_samples)],
+               "context": ctx}
+    return samples
+
+
+def test_bimanual_replay_records_metrics(tmp_path):
+    """Regression: reset() during oracle/context replay must not clobber the
+    task key — metric appends went to self.success[''] and the KeyError was
+    misreported upstream as 'cache unavailable' (pixel fallback)."""
+    from bifold_tpu.env.bimanual_evaluator import SoftgymBimanualEvaluator
+
+    samples = _bimanual_cache(tmp_path, n_samples=2)
+    ev = SoftgymBimanualEvaluator(cache_dir=str(tmp_path),
+                                  policy=_bimanual_policy(),
+                                  processor=_processor(), image_size=64)
+    _install_cheap_envs(ev)
+    ev.evaluate(samples=samples)
+    summary = ev.summary()
+    ev.close()
+    assert "Tshirt" in summary
+    assert "error Tshirt" in summary and summary["error Tshirt"] > 0
+    assert len(ev.success["Tshirt"]) == 2
+
+
+def test_bimanual_single_arm_dispatch(tmp_path):
+    """DUMMY right arm demotes to the single-arm primitive (reference
+    :519-540) and still records metrics."""
+    from bifold_tpu.env.bimanual_evaluator import SoftgymBimanualEvaluator
+
+    samples = _bimanual_cache(tmp_path, n_samples=1)
+    ev = SoftgymBimanualEvaluator(cache_dir=str(tmp_path),
+                                  policy=_bimanual_policy(dummy_right=True),
+                                  processor=_processor(), image_size=64)
+    _install_cheap_envs(ev)
+    ev.evaluate(samples=samples)
+    assert len(ev.success["Tshirt"]) == 1
+    ev.close()
+
+
+def test_bimanual_parallel_matches_sequential(tmp_path):
+    from bifold_tpu.env.bimanual_evaluator import (
+        SoftgymBimanualEvaluator, SoftgymBimanualParallelEvaluator)
+
+    n_samples, pool = 3, 2
+    samples = _bimanual_cache(tmp_path, n_samples=n_samples)
+
+    seq = SoftgymBimanualEvaluator(cache_dir=str(tmp_path),
+                                   policy=_bimanual_policy(),
+                                   processor=_processor(), image_size=64)
+    _install_cheap_envs(seq)
+    seq.evaluate(samples=samples)
+    seq_summary = seq.summary()
+    seq.close()
+
+    sizes = []
+    par = SoftgymBimanualParallelEvaluator(cache_dir=str(tmp_path),
+                                           policy=_bimanual_policy(sizes),
+                                           processor=_processor(),
+                                           image_size=64, pool=pool)
+    _install_cheap_envs(par, pool=pool)
+    par.evaluate(samples=samples)
+    par_summary = par.summary()
+    par.close()
+
+    assert set(par_summary) == set(seq_summary)
+    for k, v in seq_summary.items():
+        np.testing.assert_allclose(par_summary[k], v, rtol=1e-9, atol=1e-12,
+                                   err_msg=k)
+    assert sizes == [pool, pool]  # 3 samples -> groups of 2 + 1, both padded
+
+
 def test_batchify_many_pads_and_stacks():
     a = {"x": np.ones((2, 3)), "s": "hello"}
     b = {"x": np.zeros((2, 3)), "s": "world"}
