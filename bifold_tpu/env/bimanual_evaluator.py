@@ -97,9 +97,9 @@ class SoftgymBimanualEvaluator(SoftgymEvaluator):
         return (env.sim.get_positions()[:, :3],
                 get_mask_from_depth(depth))
 
-    def _model_sample(self, samples, idx, name, env):
+    def _model_obs(self, samples, idx, name, env):
         """Reconstruct context frames by replaying their cached states, reset
-        to the start frame, render, and build the processor sample."""
+        to the start frame, render: the raw observation for the model."""
         context = None
         if "context" in samples:
             context = []
@@ -115,11 +115,17 @@ class SoftgymBimanualEvaluator(SoftgymEvaluator):
                        self.cached_states[name])
         rgb, depth = env.render_image()
         mask = get_mask_from_depth(depth)
+        return dict(rgb=rgb, depth=depth, mask=mask, context=context,
+                    instruction=samples["raw_instruction"][idx])
+
+    def _model_sample(self, samples, idx, name, env):
+        """Raw observation -> host-processed sample (non-serving policies)."""
+        obs = self._model_obs(samples, idx, name, env)
         sample = self.processor(
-            depth=depth, rgb=rgb, mask=mask, context=context,
-            instruction=samples["raw_instruction"][idx],
+            depth=obs["depth"], rgb=obs["rgb"], mask=obs["mask"],
+            context=obs["context"], instruction=obs["instruction"],
             matrix_world_to_camera=env.camera_matrix, K=self.K)
-        return sample, depth
+        return sample, obs["depth"]
 
     def _apply_and_score(self, env, action, row: int, depth, task: str,
                          oracle_result, oracle_mask) -> None:
@@ -163,8 +169,13 @@ class SoftgymBimanualEvaluator(SoftgymEvaluator):
                 (iou_value > thresh) * 100)
 
     def execute_model(self, samples, idx, name, oracle_result, oracle_mask) -> None:
-        sample, depth = self._model_sample(samples, idx, name, self.env)
-        action, _raw = self.policy(batchify(sample))
+        if getattr(self.policy, "wants_raw", False):
+            obs = self._model_obs(samples, idx, name, self.env)
+            depth = obs["depth"]
+            action, _raw = self.policy(obs)
+        else:
+            sample, depth = self._model_sample(samples, idx, name, self.env)
+            action, _raw = self.policy(batchify(sample))
         self._apply_and_score(self.env, action, 0, depth, self.task,
                               oracle_result, oracle_mask)
 
@@ -203,6 +214,7 @@ class SoftgymBimanualParallelEvaluator(SoftgymBimanualEvaluator):
         if samples is None:
             samples = self._collect_samples(dataloader, num_evals)
         n = len(samples["frame_start"])
+        wants_raw = getattr(self.policy, "wants_raw", False)
         for start in range(0, n, self.pool):
             group = []
             for env, idx in zip(self.envs,
@@ -213,12 +225,20 @@ class SoftgymBimanualParallelEvaluator(SoftgymBimanualEvaluator):
                 oracle_result, oracle_mask = self.execute_oracle(
                     self.cached_keypoints[name], self.cached_configs[name],
                     self.cached_states[name], env=env)
-                sample, depth = self._model_sample(samples, idx, name, env)
+                if wants_raw:
+                    obs = self._model_obs(samples, idx, name, env)
+                    sample, depth = obs, obs["depth"]
+                else:
+                    sample, depth = self._model_sample(samples, idx, name, env)
                 group.append(dict(env=env, task=task, sample=sample,
                                   depth=depth, oracle_result=oracle_result,
                                   oracle_mask=oracle_mask))
-            action, _raw = self.policy(batchify_many(
-                [g["sample"] for g in group], pad_to=self.pool))
+            if wants_raw:
+                action, _raw = self.policy([g["sample"] for g in group],
+                                           pad_to=self.pool)
+            else:
+                action, _raw = self.policy(batchify_many(
+                    [g["sample"] for g in group], pad_to=self.pool))
             for row, g in enumerate(group):
                 self._apply_and_score(g["env"], action, row, g["depth"],
                                       g["task"], g["oracle_result"],
@@ -229,7 +249,10 @@ def _dual_arm_rollout_step(evaluator, sample: Dict, depth: np.ndarray) -> None:
     """Shared model-action execution: dual-arm unless an arm is DUMMY-gated
     (reference softgym_evaluator.py:519-540, repeated in the rollout
     evaluators at :674-697 and :826-849)."""
-    action, _raw = evaluator.policy(batchify(sample))
+    if getattr(evaluator.policy, "wants_raw", False):
+        action, _raw = evaluator.policy(sample)
+    else:
+        action, _raw = evaluator.policy(batchify(sample))
     env = evaluator.env
     lp = np.asarray(action.left_pick).reshape(-1)[:2]
     lpl = np.asarray(action.left_place).reshape(-1)[:2]
@@ -274,10 +297,14 @@ class SoftgymBimanualRolloutEvaluator(SoftgymEvaluator):
         mask = get_mask_from_depth(depth)
         context = []
         for instruction in instructions:
-            sample = self.processor(
-                depth=depth, rgb=rgb, mask=mask, context=context,
-                instruction=instruction,
-                matrix_world_to_camera=self.env.camera_matrix, K=self.K)
+            if getattr(self.policy, "wants_raw", False):
+                sample = dict(rgb=rgb, depth=depth, mask=mask,
+                              context=context, instruction=instruction)
+            else:
+                sample = self.processor(
+                    depth=depth, rgb=rgb, mask=mask, context=context,
+                    instruction=instruction,
+                    matrix_world_to_camera=self.env.camera_matrix, K=self.K)
             _dual_arm_rollout_step(self, sample, depth)
             context.append({"rgb": rgb.copy(), "mask": mask.copy(),
                             "depth": depth.copy()})

@@ -253,17 +253,24 @@ class SoftgymSingleEvaluator(SoftgymEvaluator):
                    eval_data["instructions"], eval_data["flags"])
         for action_index, (pick_idx, place_idx, gamma, instruction,
                            unseen_flag) in enumerate(rows):
-            sample = self.processor(
-                depth=depth, instruction=instruction, rgb=rgb, mask=mask,
-                context=context, matrix_world_to_camera=self.env.camera_matrix,
-                K=self.K)
-
             # regime dispatch (reference :325-355): within si/usi an action
             # flagged unseen is executed by the oracle; within ut only the
             # flagged (novel) actions go to the model.
             model_turn = (unseen_flag == 0) if eval_index < 2 else (unseen_flag == 1)
             if model_turn:
-                action, _raw = self.policy(batchify(sample))
+                if getattr(self.policy, "wants_raw", False):
+                    # serving-path policy: raw observation, preprocessing
+                    # runs on device inside the one-dispatch program
+                    action, _raw = self.policy(dict(
+                        rgb=rgb, depth=depth, mask=mask,
+                        instruction=instruction, context=context))
+                else:
+                    sample = self.processor(
+                        depth=depth, instruction=instruction, rgb=rgb,
+                        mask=mask, context=context,
+                        matrix_world_to_camera=self.env.camera_matrix,
+                        K=self.K)
+                    action, _raw = self.policy(batchify(sample))
                 pick_pos = self.env.get_world_coord_from_pixel(
                     np.asarray(action.pick).reshape(-1)[:2], depth)
                 place_pos = self.env.get_world_coord_from_pixel(
@@ -415,6 +422,7 @@ class SoftgymParallelEvaluator(SoftgymSingleEvaluator):
                          mask=get_mask_from_depth(depth), context=[])
 
             max_len = max(len(g["eval_data"]["pick"]) for g in group)
+            wants_raw = getattr(self.policy, "wants_raw", False)
             for action_index in range(max_len):
                 live = [g for g in group
                         if action_index < len(g["eval_data"]["pick"])]
@@ -425,19 +433,29 @@ class SoftgymParallelEvaluator(SoftgymSingleEvaluator):
                     g["model_turn"] = ((flag == 0) if eval_index < 2
                                        else (flag == 1))
                     if g["model_turn"]:
-                        samples.append(self.processor(
-                            depth=g["depth"],
-                            instruction=g["eval_data"]["instructions"][
-                                action_index],
-                            rgb=g["rgb"], mask=g["mask"],
-                            context=g["context"],
-                            matrix_world_to_camera=g["env"].camera_matrix,
-                            K=self.K))
+                        instruction = g["eval_data"]["instructions"][
+                            action_index]
+                        if wants_raw:
+                            samples.append(dict(
+                                rgb=g["rgb"], depth=g["depth"],
+                                mask=g["mask"], instruction=instruction,
+                                context=g["context"]))
+                        else:
+                            samples.append(self.processor(
+                                depth=g["depth"], instruction=instruction,
+                                rgb=g["rgb"], mask=g["mask"],
+                                context=g["context"],
+                                matrix_world_to_camera=g["env"].camera_matrix,
+                                K=self.K))
                         model_gs.append(g)
                 actions = None
                 if samples:
-                    actions, _raw = self.policy(
-                        batchify_many(samples, pad_to=self.pool))
+                    if wants_raw:
+                        actions, _raw = self.policy(samples,
+                                                    pad_to=self.pool)
+                    else:
+                        actions, _raw = self.policy(
+                            batchify_many(samples, pad_to=self.pool))
                 for g in live:
                     self._advance_trial(g, action_index, actions,
                                         model_gs, eval_name)
@@ -486,7 +504,19 @@ def run_softgym_eval(trainer) -> tuple:
     for bimanual models) and return (has_improved, metric_dict) like
     eval_epoch_pixel."""
     cfg = trainer.cfg
-    policy = lambda batch: trainer.get_action(batch, return_raw_output=True)  # noqa: E731
+    if bool(cfg.get("eval_serving_policy", False)) \
+            and not trainer.processor.requires_graph:
+        # serve rollout inference through the one-dispatch packed-wire
+        # program (uint8 rgb + f16 depth upload, on-device preprocessing) —
+        # the host-processed f32 sample upload dominates the default
+        # get_action path on transfer-bound runtimes (tools/rollout_bench.py)
+        from bifold_tpu.serving import ServingModel, ServingPolicy
+        policy = ServingPolicy(ServingModel(
+            trainer.model,
+            {"params": trainer.params, **(trainer.extra_vars or {})},
+            trainer.processor, depth_wire_dtype="float16"))
+    else:
+        policy = lambda batch: trainer.get_action(batch, return_raw_output=True)  # noqa: E731
     if trainer.model.is_bimanual:
         from bifold_tpu.env.bimanual_evaluator import (
             SoftgymBimanualEvaluator, SoftgymBimanualParallelEvaluator)

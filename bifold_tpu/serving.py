@@ -27,7 +27,7 @@ from bifold_tpu.data.processor import Processor
 from bifold_tpu.env.action import Action
 from bifold_tpu.models import build_model, decode_action
 
-__all__ = ["ServingModel", "ExportedServingModel"]
+__all__ = ["ServingModel", "ServingPolicy", "ExportedServingModel"]
 
 _INT_INPUTS = ("instruction", "ctx_count")
 _U8_INPUTS = ("rgb", "ctx_rgb")
@@ -228,6 +228,62 @@ class ServingModel:
             return action, jax.tree_util.tree_map(np.asarray, out)
         return action
 
+    def predict_batch(self, observations: List[Dict],
+                      pad_to: Optional[int] = None,
+                      return_raw_output: bool = False):
+        """K observations -> K Actions in ONE padded fixed-shape dispatch.
+
+        ``observations``: list of predict()-kwarg dicts (rgb, depth, mask,
+        instruction, context). ``pad_to`` repeats the last observation so
+        every call compiles at one batch shape (a lockstep evaluator pool);
+        padded rows are dropped from the returned Action. This is the
+        serving side of the parallel closed-loop evaluators: K trials share
+        one upload (uint8 rgb + f16-optional depth wire), one dispatch, one
+        fetch — on a tunneled runtime the fixed ~30 ms RTT and the wire
+        bytes dominate batch-1 rollout inference, so both amortize K-fold.
+        """
+        if self.processor.requires_graph:
+            # host-side data-dependent graph construction: no batched
+            # one-dispatch program; serve per sample
+            results = [self._predict_two_dispatch(
+                o.get("rgb"), o.get("depth"), o.get("mask"),
+                o.get("instruction", ""), o.get("context"), return_raw_output)
+                for o in observations]
+            if return_raw_output:
+                acts = [r[0] for r in results]
+            else:
+                acts = results
+            fields = self._action_fields()
+            action = Action(**{f: np.concatenate(
+                [np.asarray(getattr(a, f)).reshape(1, -1)[:, :2]
+                 for a in acts]) for f in fields})
+            return (action, None) if return_raw_output else action
+
+        obs = list(observations)
+        n = len(obs)
+        assert n > 0, "predict_batch needs at least one observation"
+        if pad_to and pad_to > n:
+            obs = obs + [obs[-1]] * (pad_to - n)
+        raws = [self.processor.make_raw(
+            rgb=o.get("rgb"), depth=o.get("depth"), mask=o.get("mask"),
+            instruction=o.get("instruction", ""), context=o.get("context"))
+            for o in obs]
+        batched = {k: np.stack([np.asarray(r[k]) for r in raws])
+                   for k, v in raws[0].items() if isinstance(v, np.ndarray)}
+        if "ctx_count" in raws[0]:
+            batched["ctx_count"] = np.asarray([r["ctx_count"] for r in raws])
+        spec = self.processor._spec(batched)
+        flat, schema = _pack_observation(batched, self._depth_wire_f16)
+
+        prog = self._e2e_program(spec, tuple(schema))
+        packed, out = prog(self.variables, flat)
+        packed = np.asarray(packed)[:n]  # the single fetch; padding dropped
+        fields = self._action_fields()
+        action = Action(**{f: packed[:, i] for i, f in enumerate(fields)})
+        if return_raw_output:
+            return action, jax.tree_util.tree_map(np.asarray, out)
+        return action
+
     def _predict_two_dispatch(self, rgb, depth, mask, instruction, context,
                               return_raw_output):
         """Processor dispatch + serve dispatch (graph models only)."""
@@ -377,3 +433,29 @@ class ExportedServingModel:
         if return_raw_output:
             return action, jax.tree_util.tree_map(np.asarray, out)
         return action
+
+
+class ServingPolicy:
+    """Adapt a :class:`ServingModel` into the closed-loop evaluators' policy
+    callable. ``wants_raw = True`` tells the evaluators to hand over RAW
+    observations (uint8 rgb, float depth/mask, instruction string, context
+    frame list) instead of host-processed float32 samples — preprocessing
+    then runs on device inside the one-dispatch serve program, and the wire
+    carries the packed byte observation (~10x fewer bytes than the processed
+    tensors; the f32 sample upload dominated rollout inference on the
+    tunneled runtime, tools/rollout_bench.py).
+
+    A single observation dict serves batch-1; a list serves one padded
+    batched dispatch (the lockstep parallel evaluators pass their pool).
+    Returns ``(Action, None)`` — the raw heatmaps stay on device (fetching
+    them would pay the transfer the adapter exists to avoid)."""
+
+    wants_raw = True
+
+    def __init__(self, server: ServingModel):
+        self.server = server
+
+    def __call__(self, obs, pad_to: Optional[int] = None):
+        if isinstance(obs, (list, tuple)):
+            return self.server.predict_batch(list(obs), pad_to=pad_to), None
+        return self.server.predict(**obs), None

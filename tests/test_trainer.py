@@ -243,6 +243,85 @@ def test_serving_depth_wire_f16_matches_f32(trained):
                                   np.asarray(r_hard["pick_heatmap"]))
 
 
+def test_predict_batch_matches_predict(trained):
+    """predict_batch: K observations in one padded dispatch decode to the
+    same actions/heatmaps as K batch-1 predicts; padding rows are dropped."""
+    tmp_path, cfg, trainer, _ = trained
+    from bifold_tpu.serving import ServingModel
+
+    server = ServingModel.from_checkpoint(
+        str(trainer.ckpt_dir / "last.ckpt"), cfg)
+    rng = np.random.default_rng(7)
+    obs = []
+    for i in range(3):
+        obs.append(dict(
+            rgb=rng.integers(0, 255, (96, 96, 3), dtype=np.uint8),
+            depth=rng.random((96, 96)).astype(np.float32),
+            mask=(rng.random((96, 96)) > 0.3).astype(np.float32),
+            instruction=f"fold the cloth number {i}"))
+
+    singles = [server.predict(**o, return_raw_output=True) for o in obs]
+    batched, raw = server.predict_batch(obs, pad_to=4,
+                                        return_raw_output=True)
+    assert np.asarray(batched.pick).shape == (3, 2)   # padding dropped
+    assert raw["pick_heatmap"].shape[0] == 4          # padded program
+    for i, (a, r) in enumerate(singles):
+        np.testing.assert_allclose(
+            np.asarray(raw["pick_heatmap"])[i],
+            np.asarray(r["pick_heatmap"])[0], atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(batched.pick)[i],
+                                      np.asarray(a.pick)[0])
+        np.testing.assert_array_equal(np.asarray(batched.place)[i],
+                                      np.asarray(a.place)[0])
+
+
+def test_serving_policy_closed_loop(trained, tmp_path):
+    """ServingPolicy (wants_raw) drives the closed-loop evaluators: raw
+    observations travel the packed wire, preprocessing runs in the serve
+    program, and both the sequential and lockstep-parallel evaluators
+    record metrics."""
+    _, cfg, trainer, _ = trained
+    from bifold_tpu.env.cloth_env import ClothEnv
+    from bifold_tpu.env.softgym_evaluator import (SoftgymParallelEvaluator,
+                                                  SoftgymSingleEvaluator)
+    from bifold_tpu.serving import ServingModel, ServingPolicy
+
+    policy = ServingPolicy(ServingModel(
+        trainer.model,
+        {"params": trainer.params, **(trainer.extra_vars or {})},
+        trainer.processor, depth_wire_dtype="float16"))
+
+    def cheap(ev, pool=None):
+        for env in getattr(ev, "envs", [ev.env]):
+            env.close()
+        if pool is None:
+            ev.env = ClothEnv(render_dim=64, native=False, substeps=2,
+                              iterations=6)
+        else:
+            ev.envs = [ClothEnv(render_dim=64, native=False, substeps=2,
+                                iterations=6) for _ in range(pool)]
+            ev.env = ev.envs[0]
+        ev.K = ev.env.intrinsic_from_fov(64, 64)
+        ev.error_threshold = ev.env.particle_radius * 2
+
+    seq = SoftgymSingleEvaluator(cache_dir=str(tmp_path), policy=policy,
+                                 processor=trainer.processor, image_size=64)
+    cheap(seq)
+    seq.evaluate(num_evals=1, task="CornerFold", seed=0)
+    s = seq.summary()
+    seq.close()
+    assert "CornerFold si" in s and np.isfinite(s["error CornerFold si"])
+
+    par = SoftgymParallelEvaluator(cache_dir=str(tmp_path), policy=policy,
+                                   processor=trainer.processor,
+                                   image_size=64, pool=2)
+    cheap(par, pool=2)
+    par.evaluate(num_evals=2, task="CornerFold", seed=0)
+    p = par.summary()
+    par.close()
+    assert "CornerFold si" in p and np.isfinite(p["error CornerFold si"])
+
+
 def test_serving_precast_params_identical():
     """cast_params pre-casts big f32 leaves to the model's compute dtype at
     init; since the forward casts them per use anyway, heatmaps must be
