@@ -128,7 +128,8 @@ class SoftgymBimanualEvaluator(SoftgymEvaluator):
         return sample, obs["depth"]
 
     def _apply_and_score(self, env, action, row: int, depth, task: str,
-                         oracle_result, oracle_mask) -> None:
+                         oracle_result, oracle_mask,
+                         viz_sample: Optional[Dict] = None) -> None:
         """Execute one (possibly batched) Action row on ``env`` with the
         dual-or-single-arm DUMMY dispatch (reference :519-540) and record
         the metrics under ``task``."""
@@ -161,23 +162,37 @@ class SoftgymBimanualEvaluator(SoftgymEvaluator):
 
         error = float(np.linalg.norm(oracle_result - particle_pos, axis=1).mean())
         iou_value = iou(mask, oracle_mask)
-        self.success[task].append(error < self.error_threshold)
+        success = error < self.error_threshold
+        self.success[task].append(success)
         self.additional_metrics["error"][task].append(error)
         self.additional_metrics["iou"][task].append(iou_value)
         for thresh in self.iou_thresholds:
             self.additional_metrics[f"iou_success_{thresh}"][task].append(
                 (iou_value > thresh) * 100)
 
+        if self.visualize_predictions and viz_sample is not None \
+                and "raw_rgb" in viz_sample:
+            from bifold_tpu.env.softgym_evaluator import action_row
+            from bifold_tpu.utils.visualization import visualize_action
+
+            viz = visualize_action(viz_sample, action_row(action, row))[0]
+            n = len(self.success[task]) - 1
+            self.save_visuals(f"{n:04d}_{int(success)}.png", task=task,
+                              viz=viz, particle_pos=particle_pos)
+
     def execute_model(self, samples, idx, name, oracle_result, oracle_mask) -> None:
         if getattr(self.policy, "wants_raw", False):
             obs = self._model_obs(samples, idx, name, self.env)
             depth = obs["depth"]
             action, _raw = self.policy(obs)
+            viz_sample = {"raw_rgb": obs["rgb"]}
         else:
             sample, depth = self._model_sample(samples, idx, name, self.env)
             action, _raw = self.policy(batchify(sample))
+            viz_sample = sample
         self._apply_and_score(self.env, action, 0, depth, self.task,
-                              oracle_result, oracle_mask)
+                              oracle_result, oracle_mask,
+                              viz_sample=viz_sample)
 
 
 class SoftgymBimanualParallelEvaluator(SoftgymBimanualEvaluator):
@@ -228,11 +243,14 @@ class SoftgymBimanualParallelEvaluator(SoftgymBimanualEvaluator):
                 if wants_raw:
                     obs = self._model_obs(samples, idx, name, env)
                     sample, depth = obs, obs["depth"]
+                    viz_sample = {"raw_rgb": obs["rgb"]}
                 else:
                     sample, depth = self._model_sample(samples, idx, name, env)
+                    viz_sample = sample
                 group.append(dict(env=env, task=task, sample=sample,
                                   depth=depth, oracle_result=oracle_result,
-                                  oracle_mask=oracle_mask))
+                                  oracle_mask=oracle_mask,
+                                  viz_sample=viz_sample))
             if wants_raw:
                 action, _raw = self.policy([g["sample"] for g in group],
                                            pad_to=self.pool)
@@ -242,7 +260,8 @@ class SoftgymBimanualParallelEvaluator(SoftgymBimanualEvaluator):
             for row, g in enumerate(group):
                 self._apply_and_score(g["env"], action, row, g["depth"],
                                       g["task"], g["oracle_result"],
-                                      g["oracle_mask"])
+                                      g["oracle_mask"],
+                                      viz_sample=g["viz_sample"])
 
 
 def _dual_arm_rollout_step(evaluator, sample: Dict, depth: np.ndarray) -> None:

@@ -23,6 +23,7 @@ from typing import Callable, Dict, List, Optional
 import numpy as np
 
 from bifold_tpu.data.utils import get_mask_from_depth
+from bifold_tpu.env.action import Action
 from bifold_tpu.env.cloth_env import ClothEnv, rotate_particles
 from bifold_tpu.env.demonstrators import Demonstrator
 from bifold_tpu.metrics.utils import iou
@@ -64,6 +65,19 @@ def batchify_many(samples: List[Dict], pad_to: Optional[int] = None) -> Dict:
         vs = [s[k] for s in samples]
         out[k] = np.stack(vs) if isinstance(v0, np.ndarray) else list(vs)
     return out
+
+
+def action_row(action: Action, row: int) -> Action:
+    """Slice one sample's worth out of a (possibly batched) Action."""
+    def f(a):
+        return np.asarray(a).reshape(-1, 2)[row:row + 1]
+
+    if action.is_bimanual:
+        return Action(left_pick=f(action.left_pick),
+                      right_pick=f(action.right_pick),
+                      left_place=f(action.left_place),
+                      right_place=f(action.right_place))
+    return Action(pick=f(action.pick), place=f(action.place))
 
 
 class SoftgymEvaluator:
@@ -143,6 +157,20 @@ class SoftgymEvaluator:
 
     def close(self) -> None:
         self.env.close()
+
+    def save_visuals(self, out_file_name: str, task: Optional[str] = None,
+                     **kwargs) -> None:
+        """Per-action rollout artifacts under
+        <run_dir>/eval/softgym/<task>/ (reference softgym_evaluator.py:92-98),
+        gated on visualize_predictions."""
+        if not self.visualize_predictions:
+            return
+        from bifold_tpu.utils.visualization import save_predictions
+
+        base = os.path.join(self.run_dir or ".", "eval", "softgym",
+                            task or self.task)
+        save_predictions(out_folder=base, out_file_name=out_file_name,
+                         **kwargs)
 
     def summary(self) -> Dict[str, float]:
         return_dict: Dict[str, float] = {}
@@ -282,6 +310,7 @@ class SoftgymSingleEvaluator(SoftgymEvaluator):
 
             self.env.pick_and_place_single(np.array(pick_pos), np.array(place_pos))
 
+            frame_rgb = rgb
             context.append({"rgb": rgb.copy(), "depth": depth.copy(),
                             "mask": mask.copy()})
             rgb, depth = self.env.render_image()
@@ -299,6 +328,15 @@ class SoftgymSingleEvaluator(SoftgymEvaluator):
             for thresh in self.iou_thresholds:
                 self.additional_metrics[f"iou_success_{thresh}"][self.task][
                     eval_name].append((iou_value > thresh) * 100)
+
+            if self.visualize_predictions and model_turn:
+                from bifold_tpu.utils.visualization import visualize_action
+                n = len(self.success[self.task][eval_name]) - 1
+                viz = visualize_action({"raw_rgb": frame_rgb},
+                                       action_row(action, 0))[0]
+                self.save_visuals(
+                    f"{eval_name}_{n:04d}_{action_index}_{int(success)}.png",
+                    viz=viz, particle_pos=particle_pos)
 
 
 class SoftgymParallelEvaluator(SoftgymSingleEvaluator):
@@ -479,6 +517,7 @@ class SoftgymParallelEvaluator(SoftgymSingleEvaluator):
 
         g["env"].pick_and_place_single(np.array(pick_pos),
                                        np.array(place_pos))
+        frame_rgb = g["rgb"]
         g["context"].append({"rgb": g["rgb"].copy(),
                              "depth": g["depth"].copy(),
                              "mask": g["mask"].copy()})
@@ -497,6 +536,16 @@ class SoftgymParallelEvaluator(SoftgymSingleEvaluator):
         for thresh in self.iou_thresholds:
             self.additional_metrics[f"iou_success_{thresh}"][self.task][
                 eval_name].append((iou_value > thresh) * 100)
+
+        if self.visualize_predictions and g["model_turn"]:
+            from bifold_tpu.utils.visualization import visualize_action
+            n = len(self.success[self.task][eval_name]) - 1
+            viz = visualize_action(
+                {"raw_rgb": frame_rgb},
+                action_row(actions, model_gs.index(g)))[0]
+            self.save_visuals(
+                f"{eval_name}_{n:04d}_{action_index}_{int(success)}.png",
+                viz=viz, particle_pos=particle_pos)
 
 
 def run_softgym_eval(trainer) -> tuple:
@@ -528,6 +577,8 @@ def run_softgym_eval(trainer) -> tuple:
             cache_dir=cfg["softgym_cache"], policy=policy,
             processor=trainer.processor,
             image_size=int(dict(cfg["model"])["image_size"]),
+            visualize_predictions=bool(cfg.get("visualize_predictions",
+                                               False)),
             run_dir=str(trainer.run_dir), **extra)
         try:
             evaluator.evaluate(dataloader=trainer.test_dataloader,
@@ -550,6 +601,8 @@ def run_softgym_eval(trainer) -> tuple:
             cache_dir=cfg["softgym_cache"], policy=policy,
             processor=trainer.processor,
             image_size=int(dict(cfg["model"])["image_size"]),
+            visualize_predictions=bool(cfg.get("visualize_predictions",
+                                               False)),
             run_dir=str(trainer.run_dir), **extra)
         for task in TASKS:
             evaluator.evaluate(num_evals=int(cfg.get("num_evals", 50)),

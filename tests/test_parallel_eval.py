@@ -70,11 +70,16 @@ def test_parallel_matches_sequential(tmp_path):
     random.seed(1234)
     seq = SoftgymSingleEvaluator(cache_dir=str(tmp_path),
                                  policy=_centroid_policy(), processor=_processor(),
-                                 image_size=64)
+                                 image_size=64, visualize_predictions=True,
+                                 run_dir=str(tmp_path / "run"))
     _install_cheap_envs(seq)
     seq.evaluate(num_evals=num_evals, task="CornerFold", seed=0)
     seq_summary = seq.summary()
     seq.close()
+    # per-model-action rollout artifacts (reference :92-98, :385-395)
+    viz_dir = tmp_path / "run" / "eval" / "softgym" / "CornerFold"
+    assert sorted((viz_dir / "viz").glob("si_*.png"))
+    assert sorted((viz_dir / "particle_pos").glob("*.npy"))
 
     random.seed(1234)
     sizes = []
@@ -162,7 +167,9 @@ def test_bimanual_replay_records_metrics(tmp_path):
     samples = _bimanual_cache(tmp_path, n_samples=2)
     ev = SoftgymBimanualEvaluator(cache_dir=str(tmp_path),
                                   policy=_bimanual_policy(),
-                                  processor=_processor(), image_size=64)
+                                  processor=_processor(), image_size=64,
+                                  visualize_predictions=True,
+                                  run_dir=str(tmp_path / "run"))
     _install_cheap_envs(ev)
     ev.evaluate(samples=samples)
     summary = ev.summary()
@@ -170,6 +177,8 @@ def test_bimanual_replay_records_metrics(tmp_path):
     assert "Tshirt" in summary
     assert "error Tshirt" in summary and summary["error Tshirt"] > 0
     assert len(ev.success["Tshirt"]) == 2
+    viz_dir = tmp_path / "run" / "eval" / "softgym" / "Tshirt"
+    assert len(list((viz_dir / "viz").glob("*.png"))) == 2
 
 
 def test_bimanual_single_arm_dispatch(tmp_path):
