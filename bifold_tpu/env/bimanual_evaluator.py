@@ -37,6 +37,7 @@ class SoftgymBimanualEvaluator(SoftgymEvaluator):
         self.load_cache("bimanual")
         if samples is None:
             samples = self._collect_samples(dataloader, num_evals)
+        self._validate_replayable(samples)
         for idx in range(len(samples["frame_start"])):
             name = samples["frame_start"][idx]
             self.task = name.split("_")[1] if "_" in name else name
@@ -55,6 +56,20 @@ class SoftgymBimanualEvaluator(SoftgymEvaluator):
                       + [f"iou_success_{t}" for t in self.iou_thresholds]):
                 self.additional_metrics.setdefault(k, {})[task] = []
 
+    def _validate_replayable(self, samples: Dict) -> None:
+        """Every start/context frame the replay will reset to must exist in
+        the cache; raise the fallback-eligible FileNotFoundError up front
+        instead of a mid-run KeyError (which the caller must NOT swallow —
+        that masking hid the task-key bug this check replaces)."""
+        needed = set(samples["frame_start"])
+        for ctx in samples.get("context", []):
+            needed.update(c for c in str(ctx).split("+") if c)
+        missing = sorted(n for n in needed if n not in self.cached_configs)
+        if missing:
+            raise FileNotFoundError(
+                f"bimanual replay cache is missing {len(missing)} frame(s) "
+                f"the test set replays (first: {missing[:3]})")
+
     @staticmethod
     def _collect_samples(dataloader, limit: Optional[int]) -> Dict:
         """Flatten test-dataloader batches into the parallel-list sample dict
@@ -64,6 +79,11 @@ class SoftgymBimanualEvaluator(SoftgymEvaluator):
         for batch in dataloader:
             names = batch.get("frame_start")
             instrs = batch.get("raw_instruction")
+            if names is None or instrs is None:
+                raise FileNotFoundError(
+                    "test dataset provides no frame_start/raw_instruction "
+                    "replay keys; the bimanual sim eval needs the "
+                    "vr-folding replay dataset")
             ctxs = batch.get("context_names", [""] * len(instrs))
             for name, instr, ctx in zip(names, instrs, ctxs):
                 out["frame_start"].append(name)
@@ -228,6 +248,7 @@ class SoftgymBimanualParallelEvaluator(SoftgymBimanualEvaluator):
         self.load_cache("bimanual")
         if samples is None:
             samples = self._collect_samples(dataloader, num_evals)
+        self._validate_replayable(samples)
         n = len(samples["frame_start"])
         wants_raw = getattr(self.policy, "wants_raw", False)
         for start in range(0, n, self.pool):

@@ -471,6 +471,7 @@ class SoftgymParallelEvaluator(SoftgymSingleEvaluator):
                     g["model_turn"] = ((flag == 0) if eval_index < 2
                                        else (flag == 1))
                     if g["model_turn"]:
+                        g["model_row"] = len(model_gs)
                         instruction = g["eval_data"]["instructions"][
                             action_index]
                         if wants_raw:
@@ -495,14 +496,12 @@ class SoftgymParallelEvaluator(SoftgymSingleEvaluator):
                         actions, _raw = self.policy(
                             batchify_many(samples, pad_to=self.pool))
                 for g in live:
-                    self._advance_trial(g, action_index, actions,
-                                        model_gs, eval_name)
+                    self._advance_trial(g, action_index, actions, eval_name)
 
-    def _advance_trial(self, g, action_index, actions, model_gs,
-                       eval_name) -> None:
+    def _advance_trial(self, g, action_index, actions, eval_name) -> None:
         ed = g["eval_data"]
         if g["model_turn"]:
-            i = model_gs.index(g)
+            i = g["model_row"]
             pick_px = np.asarray(actions.pick)[i].reshape(-1)[:2]
             place_px = np.asarray(actions.place)[i].reshape(-1)[:2]
             pick_pos = g["env"].get_world_coord_from_pixel(pick_px,
@@ -542,7 +541,7 @@ class SoftgymParallelEvaluator(SoftgymSingleEvaluator):
             n = len(self.success[self.task][eval_name]) - 1
             viz = visualize_action(
                 {"raw_rgb": frame_rgb},
-                action_row(actions, model_gs.index(g)))[0]
+                action_row(actions, g["model_row"]))[0]
             self.save_visuals(
                 f"{eval_name}_{n:04d}_{action_index}_{int(success)}.png",
                 viz=viz, particle_pos=particle_pos)
@@ -583,10 +582,15 @@ def run_softgym_eval(trainer) -> tuple:
         try:
             evaluator.evaluate(dataloader=trainer.test_dataloader,
                                num_evals=int(cfg.get("num_evals", 50)))
-        except (FileNotFoundError, KeyError, TypeError) as e:
-            # LOUD fallback: prefix every returned metric so a mis-pathed
-            # cache can never masquerade as a sim eval (VERDICT r1 weak#5)
-            print(f"[softgym] bimanual replay cache unavailable ({e}); "
+        except FileNotFoundError as e:
+            # LOUD fallback, and ONLY for the cache/dataset-unavailable
+            # cases (load_cache, _collect_samples and _validate_replayable
+            # raise FileNotFoundError up front): a broad KeyError/TypeError
+            # guard here once masked a real evaluator bug as "cache
+            # unavailable" (the reset() task-key clobber) — code bugs must
+            # propagate. Prefix every returned metric so a mis-pathed cache
+            # can never masquerade as a sim eval (VERDICT r1 weak#5).
+            print(f"[softgym] bimanual replay eval unavailable ({e}); "
                   f"falling back to pixel metrics (keys prefixed "
                   f"'pixel_fallback/')")
             evaluator.close()

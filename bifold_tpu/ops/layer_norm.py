@@ -86,11 +86,31 @@ def _flag(name):
     return os.environ.get(name, "").lower() not in ("", "0", "false")
 
 
+_warned_multichip = False
+
+
 def ln_mode() -> str:
     """'' (XLA default), 'pallas' (kernel LN only), or 'fused' (kernel LN
     with in-kernel residual adds — see module docstring)."""
     mode = os.environ.get("BIFOLD_LN_KERNEL", "").lower()
-    return mode if mode in ("pallas", "fused") else ""
+    mode = mode if mode in ("pallas", "fused") else ""
+    if mode:
+        # unlike the flash kernels, these have NO custom_partitioning: under
+        # a sharded jit XLA replicates the opaque custom-call, all-gathering
+        # the full activations on every device — warn loudly; the levers are
+        # single-chip measured only
+        global _warned_multichip
+        if not _warned_multichip:
+            _warned_multichip = True
+            import jax
+            if jax.device_count() > 1:
+                import warnings
+                warnings.warn(
+                    f"BIFOLD_LN_KERNEL={mode}: the Pallas LayerNorm kernels "
+                    "carry no SPMD partitioning rule — under a sharded jit "
+                    "they replicate with full-activation all-gathers. "
+                    "Single-chip lever only; unset for multi-chip runs.")
+    return mode
 
 
 def use_pallas_ln(c: int) -> bool:

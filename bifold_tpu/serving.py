@@ -210,23 +210,12 @@ class ServingModel:
         if self.processor.requires_graph:
             return self._predict_two_dispatch(rgb, depth, mask, instruction,
                                               context, return_raw_output)
-        raw = self.processor.make_raw(rgb=rgb, depth=depth, mask=mask,
-                                      instruction=instruction, context=context)
-        batched = {k: np.asarray(v)[None] for k, v in raw.items()
-                   if isinstance(v, np.ndarray)}
-        if "ctx_count" in raw:
-            batched["ctx_count"] = np.asarray([raw["ctx_count"]])
-        spec = self.processor._spec(batched)
-        flat, schema = _pack_observation(batched, self._depth_wire_f16)
-
-        prog = self._e2e_program(spec, tuple(schema))
-        packed, out = prog(self.variables, flat)
-        packed = np.asarray(packed)  # the single device->host transfer
-        fields = self._action_fields()
-        action = Action(**{f: packed[:, i] for i, f in enumerate(fields)})
-        if return_raw_output:
-            return action, jax.tree_util.tree_map(np.asarray, out)
-        return action
+        # one pipeline: batch-1 IS predict_batch of one observation (keeps
+        # the packing/spec/decode logic from drifting between the two)
+        return self.predict_batch(
+            [dict(rgb=rgb, depth=depth, mask=mask, instruction=instruction,
+                  context=context)],
+            return_raw_output=return_raw_output)
 
     def predict_batch(self, observations: List[Dict],
                       pad_to: Optional[int] = None,
@@ -249,25 +238,29 @@ class ServingModel:
                 o.get("rgb"), o.get("depth"), o.get("mask"),
                 o.get("instruction", ""), o.get("context"), return_raw_output)
                 for o in observations]
-            if return_raw_output:
-                acts = [r[0] for r in results]
-            else:
-                acts = results
+            acts = [r[0] for r in results] if return_raw_output else results
             fields = self._action_fields()
             action = Action(**{f: np.concatenate(
                 [np.asarray(getattr(a, f)).reshape(1, -1)[:, :2]
                  for a in acts]) for f in fields})
-            return (action, None) if return_raw_output else action
+            if return_raw_output:
+                raw_dicts = [r[1] for r in results]
+                raw = {k: np.concatenate([np.asarray(r[k])
+                                          for r in raw_dicts])
+                       for k in raw_dicts[0]}
+                return action, raw
+            return action
 
-        obs = list(observations)
-        n = len(obs)
+        n = len(observations)
         assert n > 0, "predict_batch needs at least one observation"
-        if pad_to and pad_to > n:
-            obs = obs + [obs[-1]] * (pad_to - n)
         raws = [self.processor.make_raw(
             rgb=o.get("rgb"), depth=o.get("depth"), mask=o.get("mask"),
             instruction=o.get("instruction", ""), context=o.get("context"))
-            for o in obs]
+            for o in observations]
+        if pad_to and pad_to > n:
+            # pad AFTER host preprocessing: the duplicate rows reuse the
+            # already-built raw record instead of re-tokenizing per step
+            raws = raws + [raws[-1]] * (pad_to - n)
         batched = {k: np.stack([np.asarray(r[k]) for r in raws])
                    for k, v in raws[0].items() if isinstance(v, np.ndarray)}
         if "ctx_count" in raws[0]:
