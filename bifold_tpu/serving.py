@@ -35,6 +35,15 @@ _BINARY_INPUTS = ("mask", "ctx_mask")  # 0/1 floats travel as uint8
 _DEPTH_INPUTS = ("depth", "ctx_depth")
 
 
+def _stack_raws(raws):
+    """Stack N make_raw records into one batched observation dict."""
+    batched = {k: np.stack([np.asarray(r[k]) for r in raws])
+               for k, v in raws[0].items() if isinstance(v, np.ndarray)}
+    if "ctx_count" in raws[0]:
+        batched["ctx_count"] = np.asarray([r["ctx_count"] for r in raws])
+    return batched
+
+
 def _pack_observation(batched, depth_f16: bool):
     """Pack raw observation arrays into one flat BYTE buffer (single upload;
     a tunneled TPU moves ~25 MB/s, so images travel as uint8, float/int
@@ -261,10 +270,7 @@ class ServingModel:
             # pad AFTER host preprocessing: the duplicate rows reuse the
             # already-built raw record instead of re-tokenizing per step
             raws = raws + [raws[-1]] * (pad_to - n)
-        batched = {k: np.stack([np.asarray(r[k]) for r in raws])
-                   for k, v in raws[0].items() if isinstance(v, np.ndarray)}
-        if "ctx_count" in raws[0]:
-            batched["ctx_count"] = np.asarray([r["ctx_count"] for r in raws])
+        batched = _stack_raws(raws)
         spec = self.processor._spec(batched)
         flat, schema = _pack_observation(batched, self._depth_wire_f16)
 
@@ -316,9 +322,9 @@ class ServingModel:
 
     def export(self, path, rgb=None, depth=None, mask=None,
                instruction: str = "export", context=None,
-               platforms: Optional[List[str]] = None):
+               platforms: Optional[List[str]] = None, batch: int = 1):
         """Serialize the one-dispatch serve program for ONE observation shape
-        into a deployment artifact: serialized StableHLO (portable across
+        (at ``batch`` pooled rows per dispatch) into a deployment artifact: serialized StableHLO (portable across
         jax versions per jax.export's compatibility guarantees) + host
         weights + the byte-packing schema + the processor config. Loading
         via :meth:`load_exported` never rebuilds the flax model or retraces
@@ -337,10 +343,10 @@ class ServingModel:
 
         raw = self.processor.make_raw(rgb=rgb, depth=depth, mask=mask,
                                       instruction=instruction, context=context)
-        batched = {k: np.asarray(v)[None] for k, v in raw.items()
-                   if isinstance(v, np.ndarray)}
-        if "ctx_count" in raw:
-            batched["ctx_count"] = np.asarray([raw["ctx_count"]])
+        # ``batch`` pins the exported program's batch dimension: K pooled
+        # observations per dispatch (the lockstep evaluators' shape), or the
+        # classic batch-1 control-loop program
+        batched = _stack_raws([raw] * max(1, int(batch)))
         spec = self.processor._spec(batched)
         flat, schema = _pack_observation(batched, self._depth_wire_f16)
 
@@ -366,6 +372,7 @@ class ServingModel:
                                    if self.processor.process_context else None),
             "autoprocessor_name": self.processor.autoprocessor_name,
             "platforms": plats or [jax.default_backend()],
+            "batch": max(1, int(batch)),
         }
         path = __import__("pathlib").Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
@@ -400,6 +407,9 @@ class ExportedServingModel:
         self._depth_wire_f16 = p["depth_wire_f16"]
         self.fields = p["fields"]
         self.platforms = p["platforms"]
+        # batch the program was exported at (older artifacts: derive from
+        # the schema's leading dim)
+        self.batch = int(p.get("batch") or self.schema[0][2][0])
         self.processor = Processor(
             p["processor_cfg"], partition="test",
             max_context_length=p["max_context_length"],
@@ -408,20 +418,42 @@ class ExportedServingModel:
     def predict(self, rgb=None, depth=None, mask=None, instruction: str = "",
                 context: Optional[List[Dict]] = None,
                 return_raw_output: bool = False):
-        raw = self.processor.make_raw(rgb=rgb, depth=depth, mask=mask,
-                                      instruction=instruction, context=context)
-        batched = {k: np.asarray(v)[None] for k, v in raw.items()
-                   if isinstance(v, np.ndarray)}
-        if "ctx_count" in raw:
-            batched["ctx_count"] = np.asarray([raw["ctx_count"]])
-        flat, schema = _pack_observation(batched, self._depth_wire_f16)
+        return self.predict_batch(
+            [dict(rgb=rgb, depth=depth, mask=mask, instruction=instruction,
+                  context=context)],
+            return_raw_output=return_raw_output)
+
+    def predict_batch(self, observations: List[Dict],
+                      pad_to: Optional[int] = None,
+                      return_raw_output: bool = False):
+        """Up to ``self.batch`` observations through the exported program
+        (short lists pad with the last observation; padded rows dropped).
+        ``pad_to`` is accepted for ServingPolicy compatibility — the
+        exported program always runs at ``self.batch`` rows, so it only
+        validates the requested pool fits."""
+        n = len(observations)
+        if pad_to and pad_to > self.batch:
+            raise ValueError(
+                f"pool of {pad_to} exceeds the exported batch {self.batch}; "
+                f"re-export with batch={pad_to}")
+        if not 1 <= n <= self.batch:
+            raise ValueError(
+                f"exported program serves 1..{self.batch} observations per "
+                f"call, got {n} (re-export with batch={n} for bigger pools)")
+        raws = [self.processor.make_raw(
+            rgb=o.get("rgb"), depth=o.get("depth"), mask=o.get("mask"),
+            instruction=o.get("instruction", ""), context=o.get("context"))
+            for o in observations]
+        raws = raws + [raws[-1]] * (self.batch - n)
+        flat, schema = _pack_observation(_stack_raws(raws),
+                                         self._depth_wire_f16)
         if schema != tuple(self.schema):
             raise ValueError(
                 f"observation layout {schema} does not match the exported "
                 f"artifact's {tuple(self.schema)}; export covers exactly one "
                 "observation shape")
         packed, out = self._call(self.variables, flat)
-        packed = np.asarray(packed)
+        packed = np.asarray(packed)[:n]
         action = Action(**{f: packed[:, i] for i, f in enumerate(self.fields)})
         if return_raw_output:
             return action, jax.tree_util.tree_map(np.asarray, out)

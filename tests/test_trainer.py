@@ -322,6 +322,41 @@ def test_serving_policy_closed_loop(trained, tmp_path):
     assert "CornerFold si" in p and np.isfinite(p["error CornerFold si"])
 
 
+def test_serving_export_batched(trained, tmp_path):
+    """export(batch=K) pins a pooled program: predict_batch of up to K
+    observations matches the live server row-for-row, batch-1 predict rides
+    the same padded program, and oversized pools error clearly."""
+    _, cfg, trainer, _ = trained
+    from bifold_tpu.serving import ServingModel
+
+    server = ServingModel.from_checkpoint(
+        str(trainer.ckpt_dir / "last.ckpt"), cfg)
+    rng = np.random.default_rng(11)
+    obs = [dict(rgb=rng.integers(0, 255, (96, 96, 3), dtype=np.uint8),
+                depth=rng.random((96, 96)).astype(np.float32),
+                mask=(rng.random((96, 96)) > 0.4).astype(np.float32),
+                instruction=f"fold number {i}") for i in range(2)]
+
+    art = server.export(tmp_path / "serve_b3.bifold", **obs[0], batch=3)
+    loaded = ServingModel.load_exported(art)
+    assert loaded.batch == 3
+
+    live = server.predict_batch(obs)
+    exp = loaded.predict_batch(obs, pad_to=3)
+    np.testing.assert_array_equal(np.asarray(live.pick), np.asarray(exp.pick))
+    np.testing.assert_array_equal(np.asarray(live.place),
+                                  np.asarray(exp.place))
+
+    a1 = loaded.predict(**obs[1])          # batch-1 via the padded program
+    np.testing.assert_array_equal(np.asarray(a1.pick),
+                                  np.asarray(live.pick)[1:2])
+
+    with pytest.raises(ValueError, match="re-export"):
+        loaded.predict_batch(obs, pad_to=5)
+    with pytest.raises(ValueError):
+        loaded.predict_batch(obs * 2)      # 4 observations > batch 3
+
+
 def test_serving_precast_params_identical():
     """cast_params pre-casts big f32 leaves to the model's compute dtype at
     init; since the forward casts them per use anyway, heatmaps must be
