@@ -27,7 +27,8 @@ from bifold_tpu.data.processor import Processor
 from bifold_tpu.env.action import Action
 from bifold_tpu.models import build_model, decode_action
 
-__all__ = ["ServingModel", "ServingPolicy", "ExportedServingModel"]
+__all__ = ["ServingModel", "ServingPolicy", "ExportedServingModel",
+           "make_serve_program"]
 
 _INT_INPUTS = ("instruction", "ctx_count")
 _U8_INPUTS = ("rgb", "ctx_rgb")
@@ -72,6 +73,52 @@ def _pack_observation(batched, depth_f16: bool):
         schema.append((name, off, arr.shape))
         off += payload.size
     return np.concatenate(parts), tuple(schema)
+
+
+def make_serve_program(model, threshold, fields, spec, schema,
+                       depth_f16: bool):
+    """Build the jitted packed-bytes -> (pixel actions, raw outputs) serve
+    program (module-level so compile-only checks can lower it against
+    abstract variables — e.g. the sharded-serving HLO assertion in
+    __graft_entry__ — without materializing flagship weights)."""
+    from bifold_tpu.data.processor import _core
+
+    def serve(variables, flat):
+        inputs = {}
+        for name, off, shape in schema:
+            size = int(np.prod(shape))
+            if name in _U8_INPUTS:
+                x = flat[off:off + size].reshape(shape)
+            elif name in _BINARY_INPUTS:
+                x = flat[off:off + size].reshape(shape).astype(jnp.float32)
+            elif depth_f16 and name in _DEPTH_INPUTS:
+                raw_bytes = flat[off:off + 2 * size].reshape(size, 2)
+                x = jax.lax.bitcast_convert_type(raw_bytes, jnp.float16)
+                x = x.reshape(shape).astype(jnp.float32)
+            else:
+                # 4-byte payloads travel as raw bytes; bitcast on device
+                dtype = jnp.int32 if name in _INT_INPUTS else jnp.float32
+                raw_bytes = flat[off:off + 4 * size].reshape(size, 4)
+                x = jax.lax.bitcast_convert_type(raw_bytes, dtype)
+                x = x.reshape(shape)
+            inputs[name] = x
+        # test-partition spec: no stochastic augmentation; key is unused
+        sample = _core(spec, jax.random.key(0), inputs.get("rgb"),
+                       inputs.get("depth"), inputs.get("mask"),
+                       inputs.get("ctx_rgb"), inputs.get("ctx_depth"),
+                       inputs.get("ctx_mask"), inputs.get("ctx_count"), {})
+        sample["instruction"] = inputs["instruction"]
+        out = model.apply(variables, sample, deterministic=True)
+        decoded = decode_action(
+            out, sample, is_bimanual=model.is_bimanual,
+            constrain_pick_mask=getattr(model, "constrain_pick_mask", True),
+            threshold=threshold)
+        # pack the pixel fields into ONE array -> one device->host fetch
+        packed = jnp.stack([decoded[f].astype(jnp.float32)
+                            for f in fields], axis=1)  # (B, F, 2)
+        return packed, out
+
+    return jax.jit(serve)
 
 
 class ServingModel:
@@ -135,49 +182,9 @@ class ServingModel:
         key = (spec, schema, self._depth_wire_f16)
         if key in self._e2e_programs:
             return self._e2e_programs[key]
-
-        from bifold_tpu.data.processor import _core
-
-        model, threshold = self.model, self.threshold
-        fields = self._action_fields()
-        depth_f16 = self._depth_wire_f16
-
-        def serve(variables, flat):
-            inputs = {}
-            for name, off, shape in schema:
-                size = int(np.prod(shape))
-                if name in self._U8_INPUTS:
-                    x = flat[off:off + size].reshape(shape)
-                elif name in self._BINARY_INPUTS:
-                    x = flat[off:off + size].reshape(shape).astype(jnp.float32)
-                elif depth_f16 and name in self._DEPTH_INPUTS:
-                    raw_bytes = flat[off:off + 2 * size].reshape(size, 2)
-                    x = jax.lax.bitcast_convert_type(raw_bytes, jnp.float16)
-                    x = x.reshape(shape).astype(jnp.float32)
-                else:
-                    # 4-byte payloads travel as raw bytes; bitcast on device
-                    dtype = jnp.int32 if name in self._INT_INPUTS else jnp.float32
-                    raw_bytes = flat[off:off + 4 * size].reshape(size, 4)
-                    x = jax.lax.bitcast_convert_type(raw_bytes, dtype)
-                    x = x.reshape(shape)
-                inputs[name] = x
-            # test-partition spec: no stochastic augmentation; key is unused
-            sample = _core(spec, jax.random.key(0), inputs.get("rgb"),
-                           inputs.get("depth"), inputs.get("mask"),
-                           inputs.get("ctx_rgb"), inputs.get("ctx_depth"),
-                           inputs.get("ctx_mask"), inputs.get("ctx_count"), {})
-            sample["instruction"] = inputs["instruction"]
-            out = model.apply(variables, sample, deterministic=True)
-            decoded = decode_action(
-                out, sample, is_bimanual=model.is_bimanual,
-                constrain_pick_mask=getattr(model, "constrain_pick_mask", True),
-                threshold=threshold)
-            # pack the pixel fields into ONE array -> one device->host fetch
-            packed = jnp.stack([decoded[f].astype(jnp.float32)
-                                for f in fields], axis=1)  # (B, F, 2)
-            return packed, out
-
-        prog = jax.jit(serve)
+        prog = make_serve_program(self.model, self.threshold,
+                                  self._action_fields(), spec, schema,
+                                  self._depth_wire_f16)
         self._e2e_programs[key] = prog
         return prog
 
