@@ -43,9 +43,11 @@ __all__ = [
     "make_eval_step",
     "gpipe",
     "ring_attention",
+    "expert_parallel_ffn",
 ]
 
 from bifold_tpu.parallel.pipeline import gpipe  # noqa: E402
+from bifold_tpu.ops.moe import expert_parallel_ffn  # noqa: E402
 from bifold_tpu.ops.ring_attention import ring_attention  # noqa: E402
 
 
@@ -107,14 +109,15 @@ def make_mesh(mesh_cfg: Optional[dict] = None,
     dcn = int(cfg.get("dcn", 1))
     pp = int(cfg.get("pp", 1))
     sp = int(cfg.get("sp", 1))
+    ep = int(cfg.get("ep", 1))
     dp = int(cfg.get("dp", -1))
     if dp == -1:
-        denom = dcn * fsdp * tp * pp * sp
+        denom = dcn * fsdp * tp * pp * sp * ep
         assert n % denom == 0, (
-            f"{n} devices not divisible by dcn*fsdp*tp*pp*sp={denom}")
+            f"{n} devices not divisible by dcn*fsdp*tp*pp*sp*ep={denom}")
         dp = n // denom
-    assert dcn * dp * fsdp * tp * pp * sp == n, (
-        f"mesh {dcn}x{dp}x{fsdp}x{tp}x{pp}x{sp} != {n} devices")
+    assert dcn * dp * fsdp * tp * pp * sp * ep == n, (
+        f"mesh {dcn}x{dp}x{fsdp}x{tp}x{pp}x{sp}x{ep} != {n} devices")
     if dcn > 1 and jax.process_count() > 1:
         # group by process so dcn = host/slice boundary
         devices = sorted(devices, key=lambda d: (d.process_index, d.id))
@@ -131,6 +134,10 @@ def make_mesh(mesh_cfg: Optional[dict] = None,
         # more often than pp's per-tick ppermute — so it gets the
         # nearest-neighbor ICI links when both are active
         shape, names = shape + [sp], names + ["sp"]
+    if ep > 1:
+        # innermost with sp: the MoE dispatch/combine all_to_alls
+        # (ops.moe.expert_parallel_ffn) fire per layer and want ICI
+        shape, names = shape + [ep], names + ["ep"]
     arr = np.asarray(devices).reshape(shape)
     return Mesh(arr, axis_names=tuple(names))
 
