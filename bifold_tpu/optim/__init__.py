@@ -81,7 +81,10 @@ def build_optimizer(
     — the schedule is also returned standalone so the trainer can log lr per
     step (reference __main__.py:154-159).
 
-    ``accumulate_steps`` (optim config, default 1) enables gradient
+    ``skip_nonfinite`` (optim config, default 0 = off) wraps the update in
+    ``optax.apply_if_finite(n)``: non-finite gradients skip the update
+    (after n consecutive skips the non-finite update applies, surfacing the
+    divergence). ``accumulate_steps`` (optim config, default 1) enables gradient
     accumulation via ``optax.MultiSteps``: k micro-batches average into one
     optimizer update (effective batch = k * batch_size), clipping and the
     lr schedule apply per UPDATE, and ``max_iters`` (micro-steps) is
@@ -96,12 +99,21 @@ def build_optimizer(
     name = node.pop("name")
     base_lr = node.pop("lr")
     accumulate = int(node.pop("accumulate_steps", 1) or 1)
+    skip_nonfinite = int(node.pop("skip_nonfinite", 0) or 0)
     n_updates = max(1, -(-max_iters // accumulate))
     schedule = build_schedule(scheduler_cfg, base_lr, n_updates)
 
     tx = Optimizers.get(name)(learning_rate=schedule, **node)
     if gradient_clip is not None:
         tx = optax.chain(optax.clip_by_global_norm(gradient_clip), tx)
+    if skip_nonfinite:
+        # production hardening: a NaN/inf gradient step (data spike, rare
+        # numerics) SKIPS the update (params + inner opt state unchanged)
+        # instead of poisoning the run; after ``skip_nonfinite`` consecutive
+        # bad steps the error propagates (a persistent divergence must not
+        # spin forever). optax.apply_if_finite keeps a total_notfinite
+        # counter in the opt state for observability.
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=skip_nonfinite)
     if accumulate > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate).gradient_transformation()
     if trainable is not None:

@@ -35,7 +35,8 @@ from bifold_tpu.losses import build_loss
 from bifold_tpu.metrics import Metrics
 from bifold_tpu.models import build_model, decode_action, trainable_mask
 from bifold_tpu.optim import build_optimizer
-from bifold_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from bifold_tpu.utils.checkpoint import (AsyncCheckpointer, latest_checkpoint,
+                                         load_checkpoint, save_checkpoint)
 from bifold_tpu.utils.logging import Writer
 
 __all__ = ["Trainer", "seed_randomness", "split_batch"]
@@ -100,6 +101,7 @@ class Trainer:
         self.metrics = Metrics(dict(cfg["metrics"]))
         self.epoch = 0
         self.global_step = 0
+        self._async_ckpt = None
         self.tx = None
         self.opt_state = None
         self.schedule = None
@@ -172,7 +174,21 @@ class Trainer:
         return gens
 
     def save_model(self, name: str) -> None:
-        save_checkpoint(
+        # async_checkpoint=true moves the pickle+write off the critical path
+        # (the host fetch still runs inline — donation safety); single-
+        # process only: the collective gathers inside must stay on the main
+        # thread in program order across hosts
+        use_async = bool(self.cfg.get("async_checkpoint", False)) \
+            and jax.process_count() == 1
+        if use_async:
+            if self._async_ckpt is None:
+                self._async_ckpt = AsyncCheckpointer()
+            saver = self._async_ckpt.save
+        else:
+            if self._async_ckpt is not None:
+                self._async_ckpt.wait()
+            saver = save_checkpoint
+        saver(
             self.ckpt_dir / f"{name}.ckpt",
             params=self.params, opt_state=self.opt_state,
             extra_vars=self.extra_vars, epoch=self.epoch,
@@ -184,6 +200,8 @@ class Trainer:
                       "tracked_metric": self.metrics.tracked_metric})
 
     def load_model(self, prefer: str = "last", path: Optional[Path] = None) -> bool:
+        if self._async_ckpt is not None:
+            self._async_ckpt.wait()     # the file we read must be complete
         path = path or latest_checkpoint(self.ckpt_dir, prefer=prefer)
         if path is None:
             return False
@@ -246,6 +264,8 @@ class Trainer:
             raise
         self.epoch = int(cfg["epochs"])
         self.save_model("last")
+        if self._async_ckpt is not None:
+            self._async_ckpt.wait()     # surface write errors before returning
 
     def train_epoch(self) -> float:
         log_every = int(self.cfg.get("log_every", 50))

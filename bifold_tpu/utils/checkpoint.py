@@ -19,7 +19,8 @@ from typing import Any, Dict, Optional
 import jax
 import numpy as np
 
-__all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint"]
+__all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint",
+           "AsyncCheckpointer"]
 
 
 def _to_host(tree: Any) -> Any:
@@ -33,7 +34,10 @@ def _to_host(tree: Any) -> Any:
             from jax.experimental import multihost_utils
 
             return np.asarray(multihost_utils.process_allgather(x, tiled=True))
-        return np.asarray(x) if isinstance(x, jax.Array) else x
+        # np.array (copy), NOT asarray: on the CPU backend a jax.Array can
+        # alias its donor numpy buffer, and the async writer must hold an
+        # immutable snapshot
+        return np.array(x) if isinstance(x, jax.Array) else x
 
     return jax.tree_util.tree_map(fetch, tree)
 
@@ -50,9 +54,20 @@ def save_checkpoint(path: str | Path, *, params: Any, opt_state: Any = None,
     shuffle, processor augmentation) so data order and augmentation streams
     resume bitwise too, not just the global RNGs.
     """
-    path = Path(path)
-    path.parent.mkdir(parents=True, exist_ok=True)
-    payload = {
+    payload = _build_payload(
+        params=params, opt_state=opt_state, extra_vars=extra_vars,
+        epoch=epoch, best_eval=best_eval, jax_key=jax_key, step=step,
+        metadata=metadata, host_rng_states=host_rng_states)
+    return _write_payload(Path(path), payload)
+
+
+def _build_payload(*, params, opt_state, extra_vars, epoch, best_eval,
+                   jax_key, step, metadata, host_rng_states) -> Dict:
+    """Synchronous half: host-fetch every pytree (runs the multi-process
+    collective gathers in main-thread program order; REQUIRED before a
+    donated train step can reuse the buffers) and snapshot the RNG states
+    at this instant."""
+    return {
         "params": _to_host(params),
         "opt_state": _to_host(opt_state),
         "extra_vars": _to_host(extra_vars),
@@ -65,15 +80,71 @@ def save_checkpoint(path: str | Path, *, params: Any, opt_state: Any = None,
         "jax_key": None if jax_key is None else np.asarray(jax.random.key_data(jax_key)),
         "metadata": metadata or {},
     }
+
+
+def _write_payload(path: Path, payload: Dict) -> Path:
+    """IO half: atomic pickle (tmp + rename); process 0 owns the file."""
     if jax.process_index() != 0:
-        # the collective gathers above already ran on every process; only
-        # process 0 owns the file (all hosts see the same global values)
+        # the collective gathers in _build_payload already ran on every
+        # process (all hosts see the same global values)
         return path
+    path.parent.mkdir(parents=True, exist_ok=True)
     tmp = path.with_suffix(path.suffix + ".tmp")
     with open(tmp, "wb") as f:
         pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
     tmp.replace(path)
     return path
+
+
+class AsyncCheckpointer:
+    """Checkpoint writes off the training critical path.
+
+    ``save()`` runs the synchronous half inline — host fetch of the pytrees
+    (the buffers may be donated away by the very next train step, and any
+    multi-process collective gathers must run on the main thread in program
+    order) plus the RNG snapshot — then serializes and atomically writes in
+    a daemon thread. At most one write is in flight: a new ``save`` (or
+    ``wait``) joins the previous one first and re-raises its error, so a
+    failed write cannot be silently lost. Call ``wait()`` before reading
+    the file back (resume, load_best) and at shutdown.
+    """
+
+    def __init__(self):
+        self._thread = None
+        self._error: Optional[BaseException] = None
+
+    def save(self, path: str | Path, **kwargs) -> Path:
+        import threading
+
+        self.wait()
+        path = Path(path)
+        payload = _build_payload(
+            params=kwargs.get("params"), opt_state=kwargs.get("opt_state"),
+            extra_vars=kwargs.get("extra_vars"),
+            epoch=kwargs.get("epoch", 0),
+            best_eval=kwargs.get("best_eval"),
+            jax_key=kwargs.get("jax_key"), step=kwargs.get("step", 0),
+            metadata=kwargs.get("metadata"),
+            host_rng_states=kwargs.get("host_rng_states"))
+
+        def write():
+            try:
+                _write_payload(path, payload)
+            except BaseException as e:  # noqa: BLE001 — surfaced on wait()
+                self._error = e
+
+        self._thread = threading.Thread(target=write, daemon=True,
+                                        name="bifold-ckpt-writer")
+        self._thread.start()
+        return path
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError("async checkpoint write failed") from err
 
 
 def load_checkpoint(path: str | Path, *, restore_rng: bool = True) -> Dict[str, Any]:

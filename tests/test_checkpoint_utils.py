@@ -64,3 +64,48 @@ def test_zarr_lite_missing_chunk_fill(tmp_path):
     arr = Array(p)[:]
     np.testing.assert_array_equal(arr[:2], np.ones((2, 4)))
     np.testing.assert_array_equal(arr[2:], np.full((2, 4), 7.0))
+
+
+def test_async_checkpointer_roundtrip(tmp_path):
+    from bifold_tpu.utils.checkpoint import AsyncCheckpointer, load_checkpoint
+
+    ck = AsyncCheckpointer()
+    params = {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    path = ck.save(tmp_path / "last.ckpt", params=params, epoch=3, step=42)
+    ck.wait()
+    payload = load_checkpoint(path, restore_rng=False)
+    np.testing.assert_array_equal(payload["params"]["w"], params["w"])
+    assert payload["epoch"] == 3 and payload["step"] == 42
+    assert not list(tmp_path.glob("*.tmp"))
+
+
+def test_async_checkpointer_snapshot_isolation(tmp_path):
+    """The host fetch happens inside save(): mutating the source arrays
+    after save() returns must not corrupt the written checkpoint."""
+    import jax.numpy as jnp
+
+    from bifold_tpu.utils.checkpoint import AsyncCheckpointer, load_checkpoint
+
+    ck = AsyncCheckpointer()
+    w = np.ones(4, np.float32)
+    ck.save(tmp_path / "last.ckpt", params={"w": jnp.asarray(w)})
+    w[:] = -1.0  # source mutated while the writer thread may still run
+    ck.wait()
+    payload = load_checkpoint(tmp_path / "last.ckpt", restore_rng=False)
+    np.testing.assert_array_equal(payload["params"]["w"], np.ones(4))
+
+
+def test_async_checkpointer_surfaces_write_errors(tmp_path):
+    import pytest
+
+    from bifold_tpu.utils.checkpoint import AsyncCheckpointer
+
+    target = tmp_path / "not_a_dir"
+    target.write_text("file, not a directory")
+    ck = AsyncCheckpointer()
+    ck.save(target / "x.ckpt", params={"w": np.zeros(2)})
+    with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+        ck.wait()
+    # a later save works once the error has been surfaced (not sticky)
+    ck.save(tmp_path / "ok.ckpt", params={"w": np.zeros(2)})
+    ck.wait()

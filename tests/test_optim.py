@@ -148,3 +148,32 @@ def test_accumulate_with_trainable_mask():
         p = optax.apply_updates(p, up)
     assert np.all(np.asarray(p["frozen"]) == 1.0)
     assert np.all(np.asarray(p["head"]) != 1.0)
+
+
+def test_skip_nonfinite_guards_updates():
+    """optim.skip_nonfinite=n: NaN/inf grads skip the update (params and
+    inner state untouched); finite grads apply; after n consecutive bad
+    steps the non-finite update propagates (divergence must surface)."""
+    import jax.numpy as jnp
+
+    from bifold_tpu.optim import build_optimizer
+
+    tx, _ = build_optimizer(
+        {"name": "adam", "lr": 1e-1, "betas": [0.9, 0.999], "eps": 1e-8,
+         "weight_decay": 0, "skip_nonfinite": 2}, None, max_iters=10)
+    params = {"w": jnp.ones(3)}
+    state = tx.init(params)
+
+    bad = {"w": jnp.full(3, jnp.nan)}
+    good = {"w": jnp.ones(3)}
+
+    up, state = tx.update(bad, state, params)
+    assert np.all(np.asarray(up["w"]) == 0)          # skipped
+    up, state = tx.update(good, state, params)
+    assert np.all(np.isfinite(np.asarray(up["w"])))  # applied
+    assert float(np.abs(np.asarray(up["w"])).max()) > 0
+    # two consecutive bad steps exhaust the budget -> the third propagates
+    up, state = tx.update(bad, state, params)
+    up, state = tx.update(bad, state, params)
+    up, state = tx.update(bad, state, params)
+    assert not np.all(np.isfinite(np.asarray(up["w"])))

@@ -322,6 +322,31 @@ def test_serving_policy_closed_loop(trained, tmp_path):
     assert "CornerFold si" in p and np.isfinite(p["error CornerFold si"])
 
 
+def test_async_checkpoint_trains_and_resumes(tmp_path):
+    """async_checkpoint=true: saves ride the background writer (with the
+    host snapshot taken inline), the run completes, and a second trainer
+    resumes bitwise from the async-written last.ckpt."""
+    import jax
+
+    cfg = tiny_cfg(tmp_path, extra=("async_checkpoint=true", "epochs=1",
+                                    "optim.skip_nonfinite=3"))
+    trainer = Trainer(Config(cfg), run_dir=tmp_path / "run")
+    trainer.prepare_train()
+    loss = trainer.train_epoch()
+    assert np.isfinite(loss)
+    trainer.epoch = 1
+    trainer.save_model("last")
+    assert trainer._async_ckpt is not None      # the async path was taken
+    trainer._async_ckpt.wait()
+
+    t2 = Trainer(Config(cfg), run_dir=tmp_path / "run")
+    t2.prepare_train()
+    assert t2.epoch == 1
+    for a, b in zip(jax.tree_util.tree_leaves(trainer.params),
+                    jax.tree_util.tree_leaves(t2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_serving_export_batched(trained, tmp_path):
     """export(batch=K) pins a pooled program: predict_batch of up to K
     observations matches the live server row-for-row, batch-1 predict rides
