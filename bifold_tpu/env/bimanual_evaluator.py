@@ -58,17 +58,29 @@ class SoftgymBimanualEvaluator(SoftgymEvaluator):
 
     def _validate_replayable(self, samples: Dict) -> None:
         """Every start/context frame the replay will reset to must exist in
-        the cache; raise the fallback-eligible FileNotFoundError up front
-        instead of a mid-run KeyError (which the caller must NOT swallow —
-        that masking hid the task-key bug this check replaces)."""
-        needed = set(samples["frame_start"])
+        the cache — configs AND states, plus keypoints for the start frames
+        the oracle scripts from; raise the fallback-eligible
+        FileNotFoundError up front instead of a mid-run KeyError/TypeError
+        (which the caller must NOT swallow — that masking hid the task-key
+        bug this check replaces)."""
+        starts = set(samples["frame_start"])
+        needed = set(starts)
         for ctx in samples.get("context", []):
             needed.update(c for c in str(ctx).split("+") if c)
-        missing = sorted(n for n in needed if n not in self.cached_configs)
+        if self.cached_keypoints is None:
+            raise FileNotFoundError(
+                "bimanual replay cache has no 'keypoints' — the oracle "
+                "cannot script its grasps; rebuild the cache from the "
+                "dataset (env/cache_builder.py)")
+        missing = sorted(
+            n for n in needed
+            if n not in self.cached_configs or n not in self.cached_states
+        ) + sorted(n for n in starts if n not in self.cached_keypoints)
         if missing:
             raise FileNotFoundError(
-                f"bimanual replay cache is missing {len(missing)} frame(s) "
-                f"the test set replays (first: {missing[:3]})")
+                f"bimanual replay cache is missing {len(missing)} frame "
+                f"entr{'y' if len(missing) == 1 else 'ies'} the test set "
+                f"replays (first: {missing[:3]})")
 
     @staticmethod
     def _collect_samples(dataloader, limit: Optional[int]) -> Dict:
@@ -76,6 +88,7 @@ class SoftgymBimanualEvaluator(SoftgymEvaluator):
         the replay loop walks (frame_start / raw_instruction / context)."""
         out: Dict = {"frame_start": [], "raw_instruction": [], "context": []}
         n = 0
+        done = False
         for batch in dataloader:
             names = batch.get("frame_start")
             instrs = batch.get("raw_instruction")
@@ -91,8 +104,15 @@ class SoftgymBimanualEvaluator(SoftgymEvaluator):
                 out["context"].append(ctx)
                 n += 1
                 if limit and n >= limit:
-                    return out
-        if not out["context"][0]:
+                    done = True
+                    break
+            if done:
+                break
+        if not out["frame_start"]:
+            raise FileNotFoundError(
+                "test dataloader yielded no replayable samples")
+        if not any(out["context"]):
+            # normalize on EVERY exit (the limited path used to skip this)
             out.pop("context")
         return out
 

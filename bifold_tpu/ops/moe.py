@@ -168,6 +168,9 @@ def expert_parallel_ffn(x, params: Dict, mesh: Mesh, *, ep_axis: str = "ep",
         local, mesh=mesh,
         in_specs=(P(ep_axis, None), P(), P(ep_axis, None, None),
                   P(ep_axis, None), P(ep_axis, None, None), P(ep_axis, None)),
-        out_specs=P(ep_axis, None))
+        out_specs=P(ep_axis, None),
+        # manual over ep ONLY — other mesh axes (dp, ...) stay auto so a
+        # dp-sharded caller composes instead of being forced replicated
+        axis_names={ep_axis})
     return mapped(x, params["router"], params["w1"], params["b1"],
                   params["w2"], params["b2"])

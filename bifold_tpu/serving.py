@@ -287,7 +287,10 @@ class ServingModel:
         fields = self._action_fields()
         action = Action(**{f: packed[:, i] for i, f in enumerate(fields)})
         if return_raw_output:
-            return action, jax.tree_util.tree_map(np.asarray, out)
+            # slice the padding out of the raw outputs too — the Action/raw
+            # row contract must match batch-1 predict's
+            return action, jax.tree_util.tree_map(
+                lambda a: np.asarray(a)[:n], out)
         return action
 
     def _predict_two_dispatch(self, rgb, depth, mask, instruction, context,
@@ -463,7 +466,8 @@ class ExportedServingModel:
         packed = np.asarray(packed)[:n]
         action = Action(**{f: packed[:, i] for i, f in enumerate(self.fields)})
         if return_raw_output:
-            return action, jax.tree_util.tree_map(np.asarray, out)
+            return action, jax.tree_util.tree_map(
+                lambda a: np.asarray(a)[:n], out)
         return action
 
 

@@ -23,21 +23,25 @@ __all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint",
            "AsyncCheckpointer"]
 
 
-def _to_host(tree: Any) -> Any:
+def _to_host(tree: Any, copy: bool = False) -> Any:
     """Fetch a pytree to host numpy.
 
     Multi-process arrays (fsdp-sharded across hosts: not fully addressable)
     are gathered collectively — EVERY process must call this (it runs an
-    all-gather), even though only process 0 writes the file."""
+    all-gather), even though only process 0 writes the file.
+
+    ``copy=True`` forces an owned snapshot: on the CPU backend a jax.Array
+    can alias its donor numpy buffer, so the ASYNC writer must not share
+    memory with arrays the caller may mutate. The sync path skips the extra
+    memcpy (the write completes before any buffer can be reused)."""
     def fetch(x):
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
             from jax.experimental import multihost_utils
 
             return np.asarray(multihost_utils.process_allgather(x, tiled=True))
-        # np.array (copy), NOT asarray: on the CPU backend a jax.Array can
-        # alias its donor numpy buffer, and the async writer must hold an
-        # immutable snapshot
-        return np.array(x) if isinstance(x, jax.Array) else x
+        if isinstance(x, jax.Array):
+            return np.array(x) if copy else np.asarray(x)
+        return x
 
     return jax.tree_util.tree_map(fetch, tree)
 
@@ -61,16 +65,18 @@ def save_checkpoint(path: str | Path, *, params: Any, opt_state: Any = None,
     return _write_payload(Path(path), payload)
 
 
-def _build_payload(*, params, opt_state, extra_vars, epoch, best_eval,
-                   jax_key, step, metadata, host_rng_states) -> Dict:
+def _build_payload(*, params, opt_state=None, extra_vars=None, epoch=0,
+                   best_eval=None, jax_key=None, step=0, metadata=None,
+                   host_rng_states=None, copy=False) -> Dict:
     """Synchronous half: host-fetch every pytree (runs the multi-process
     collective gathers in main-thread program order; REQUIRED before a
     donated train step can reuse the buffers) and snapshot the RNG states
-    at this instant."""
+    at this instant. Defaults mirror save_checkpoint so both savers accept
+    the same call."""
     return {
-        "params": _to_host(params),
-        "opt_state": _to_host(opt_state),
-        "extra_vars": _to_host(extra_vars),
+        "params": _to_host(params, copy=copy),
+        "opt_state": _to_host(opt_state, copy=copy),
+        "extra_vars": _to_host(extra_vars, copy=copy),
         "epoch": epoch,
         "step": step,
         "best_eval": best_eval,
@@ -118,14 +124,10 @@ class AsyncCheckpointer:
 
         self.wait()
         path = Path(path)
-        payload = _build_payload(
-            params=kwargs.get("params"), opt_state=kwargs.get("opt_state"),
-            extra_vars=kwargs.get("extra_vars"),
-            epoch=kwargs.get("epoch", 0),
-            best_eval=kwargs.get("best_eval"),
-            jax_key=kwargs.get("jax_key"), step=kwargs.get("step", 0),
-            metadata=kwargs.get("metadata"),
-            host_rng_states=kwargs.get("host_rng_states"))
+        # forward **kwargs verbatim: an unknown field is a TypeError here,
+        # not a silently-dropped checkpoint entry (keeps the sync and async
+        # savers in lockstep); copy=True isolates the writer's snapshot
+        payload = _build_payload(copy=True, **kwargs)
 
         def write():
             try:

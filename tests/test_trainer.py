@@ -264,7 +264,7 @@ def test_predict_batch_matches_predict(trained):
     batched, raw = server.predict_batch(obs, pad_to=4,
                                         return_raw_output=True)
     assert np.asarray(batched.pick).shape == (3, 2)   # padding dropped
-    assert raw["pick_heatmap"].shape[0] == 4          # padded program
+    assert raw["pick_heatmap"].shape[0] == 3          # ...from raw too
     for i, (a, r) in enumerate(singles):
         np.testing.assert_allclose(
             np.asarray(raw["pick_heatmap"])[i],
