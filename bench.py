@@ -226,6 +226,32 @@ def bench_latency(image_size: int = 384, iters: int = 30):
     return p50, floor_ms, n_bytes, onchip_ms
 
 
+def _arm_watchdog(seconds: float, what: str):
+    """Fail fast instead of hanging forever when the tunneled TPU runtime is
+    unreachable: jax.devices() blocks in C retrying the connection (observed
+    during the 2026-08-17 axon outage), so no Python exception ever reaches
+    the error-JSON handler below. A daemon thread prints the contract JSON
+    line and hard-exits if the guarded phase doesn't finish in time."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(seconds):
+            print(json.dumps({
+                "metric": "train_samples_per_sec_per_chip",
+                "value": None, "unit": "samples/s/chip", "vs_baseline": None,
+                "error": (f"watchdog: {what} did not complete within "
+                          f"{seconds:.0f}s — TPU runtime unreachable "
+                          "(tunnel outage?)"),
+            }), flush=True)
+            os._exit(1)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done
+
+
 def main():
     import jax
 
@@ -235,7 +261,9 @@ def main():
                       str(ROOT / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    connected = _arm_watchdog(180.0, "TPU runtime initialization")
     devices = jax.devices()
+    connected.set()
     platform = devices[0].platform
     n_chips = len(devices)
 
