@@ -6,6 +6,16 @@ does cheap decode/tokenize work, batches are collated as numpy and handed to
 ``Processor.process_batch`` (one fused XLA program), and an optional
 background thread overlaps next-batch host work with device compute
 (prefetch=2 double buffering).
+
+Randomness is STATELESS and index-derived: the epoch's shuffle permutation
+comes from ``default_rng([seed, epoch])`` and each batch's augmentation key
+from ``default_rng([seed, epoch, batch_index])`` — never from a stream that
+advances as batches are built. This is what makes step-granular resume exact:
+restarting an epoch at batch K (``start_batch``) reproduces the same
+remaining batches, keys and all, regardless of how many batches the
+interrupted run's prefetch thread had built ahead (the reference can only
+resume at epoch granularity, __main__.py:272-302). Call
+:meth:`DataLoader.set_epoch` each epoch (the Trainer does).
 """
 
 from __future__ import annotations
@@ -58,7 +68,12 @@ class DataLoader:
         self.drop_last = shuffle if drop_last is None else drop_last
         self.num_workers = num_workers
         self.prefetch = max(1, prefetch)
-        self._rng = np.random.default_rng(seed)
+        self._seed = int(seed)
+        self.epoch = 0
+        # one-shot mid-epoch resume point: __iter__ starts at this batch
+        # index (then resets to 0) — the Trainer sets it when a checkpoint
+        # carries step_in_epoch > 0
+        self.start_batch = 0
         self.processor = dataset.processor
         # multi-process (multi-host) runs: every process iterates the SAME
         # shuffled global order (seeded rng) but materializes only its
@@ -91,25 +106,44 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _index_batches(self):
+    def set_epoch(self, epoch: int) -> None:
+        """Select the epoch whose (seed, epoch)-derived shuffle permutation
+        and batch keys the next iteration uses (torch DistributedSampler
+        convention). Identical on every process — multi-host runs slice the
+        same global order."""
+        self.epoch = int(epoch)
+
+    def _index_batches(self, start: int = 0):
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            self._rng.shuffle(idx)
+            np.random.default_rng([self._seed, self.epoch]).shuffle(idx)
         nb = len(self)
-        for b in range(nb):
+        for b in range(start, nb):
             g = idx[b * self.batch_size : (b + 1) * self.batch_size]
             # this process's contiguous slice of the global batch
-            yield g[self.process_id * self._local_bs
-                    : (self.process_id + 1) * self._local_bs]
+            yield b, g[self.process_id * self._local_bs
+                       : (self.process_id + 1) * self._local_bs]
 
-    def _make_batch(self, indices) -> Dict[str, Any]:
+    def _batch_key(self, batch_index: int):
+        """Per-(seed, epoch, batch) augmentation key — index-derived so a
+        resumed epoch rebuilds batch K with exactly the key the uninterrupted
+        run used (a stateful stream would have been advanced by whatever the
+        prefetch thread built ahead of the interrupt)."""
+        import jax
+        seed = np.random.default_rng(
+            [self._seed, self.epoch, batch_index]).integers(0, 2 ** 31 - 1)
+        return jax.random.key(int(seed))
+
+    def _make_batch(self, batch_index: int, indices) -> Dict[str, Any]:
         records = [self.dataset[int(i)] for i in indices]
-        return self.processor.process_batch(collate(records))
+        return self.processor.process_batch(collate(records),
+                                            key=self._batch_key(batch_index))
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
+        start, self.start_batch = self.start_batch, 0
         if self.prefetch <= 1:
-            for indices in self._index_batches():
-                yield self._make_batch(indices)
+            for b, indices in self._index_batches(start):
+                yield self._make_batch(b, indices)
             return
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -118,8 +152,8 @@ class DataLoader:
 
         def producer():
             try:
-                for indices in self._index_batches():
-                    q.put(self._make_batch(indices))
+                for b, indices in self._index_batches(start):
+                    q.put(self._make_batch(b, indices))
             except BaseException as e:  # noqa: BLE001 - surfaced on consumer side
                 error.append(e)
             finally:

@@ -101,6 +101,13 @@ class Trainer:
         self.metrics = Metrics(dict(cfg["metrics"]))
         self.epoch = 0
         self.global_step = 0
+        # mid-epoch resume bookkeeping: steps applied within the current
+        # epoch and the in-flight train-step PRNG key (state[3]); both ride
+        # in every checkpoint so an interrupt anywhere resumes exactly
+        self._step_in_epoch = 0
+        self._loop_key = None
+        self._resume_step_in_epoch = 0
+        self._resume_loop_key = None
         self._async_ckpt = None
         self.tx = None
         self.opt_state = None
@@ -193,6 +200,7 @@ class Trainer:
             params=self.params, opt_state=self.opt_state,
             extra_vars=self.extra_vars, epoch=self.epoch,
             step=self.global_step, best_eval=self.metrics.best_eval,
+            step_in_epoch=self._step_in_epoch, loop_key=self._loop_key,
             jax_key=self.key,
             host_rng_states={k: g.bit_generator.state
                              for k, g in self._host_rng_generators().items()},
@@ -223,6 +231,11 @@ class Trainer:
         self.metrics.best_eval = payload.get("best_eval")
         if payload.get("jax_key") is not None:
             self.key = payload["jax_key"]
+        # mid-epoch checkpoint: train_epoch will restart this epoch's
+        # index-derived batch stream at the saved offset and continue the
+        # saved key chain instead of splitting a fresh one
+        self._resume_step_in_epoch = int(payload.get("step_in_epoch", 0) or 0)
+        self._resume_loop_key = payload.get("loop_key")
         saved_states = payload.get("host_rng_states") or {}
         for k, gen in self._host_rng_generators().items():
             if k in saved_states:
@@ -242,6 +255,9 @@ class Trainer:
             for epoch in range(self.epoch, int(cfg["epochs"])):
                 self.epoch = epoch
                 self.train_epoch()
+                # the epoch is complete: checkpoints written from here on
+                # (eval best, periodic last) must resume AFTER it, not replay
+                self.epoch = epoch + 1
                 if eval_epochs and (epoch + 1) % eval_epochs == 0:
                     has_improved, metric_dict = self.eval_epoch(epoch)
                     self.writer.log({f"eval/{k}": v for k, v in metric_dict.items()},
@@ -269,6 +285,7 @@ class Trainer:
 
     def train_epoch(self) -> float:
         log_every = int(self.cfg.get("log_every", 50))
+        save_steps = int(self.cfg.get("save_steps") or 0)
         running, n_steps = 0.0, 0
         t_epoch = time.time()
         samples = 0
@@ -277,7 +294,21 @@ class Trainer:
             # tracing hook (SURVEY.md §5: the reference has none; we expose
             # jax.profiler so the step can be inspected in xprof/tensorboard)
             jax.profiler.start_trace(str(self.run_dir / "profile"))
-        self.key, loop_key = jax.random.split(self.key)
+        if hasattr(self.train_dataloader, "set_epoch"):
+            self.train_dataloader.set_epoch(self.epoch)
+        start = 0
+        if self._resume_step_in_epoch and self._resume_loop_key is not None:
+            # mid-epoch resume: same epoch permutation (index-derived), skip
+            # the already-applied batches, continue the in-flight key chain
+            # (self.key was already split past this epoch at its first start)
+            start = self._resume_step_in_epoch
+            loop_key = self._resume_loop_key
+            self.train_dataloader.start_batch = start
+            print(f"[trainer] resuming epoch {self.epoch} at step {start}")
+        else:
+            self.key, loop_key = jax.random.split(self.key)
+        self._resume_step_in_epoch, self._resume_loop_key = 0, None
+        self._step_in_epoch = start
         state = (self.params, self.opt_state, self.extra_vars, loop_key)
         checked_grads = not bool(self.cfg.get("debug"))
         for batch in self.train_dataloader:
@@ -293,12 +324,15 @@ class Trainer:
             # The donated step invalidates the previous state's buffers; keep
             # live handles every step so the interrupt path (train()'s except
             # -> save_model) never reads deleted arrays mid-epoch.
-            self.params, self.opt_state, self.extra_vars, _ = state
+            self.params, self.opt_state, self.extra_vars, self._loop_key = state
             loss = float(step_metrics["loss"])
             running += loss
             n_steps += 1
             samples += int(next(iter(device_batch.values())).shape[0])
             self.global_step += 1
+            self._step_in_epoch = start + n_steps
+            if save_steps and self.global_step % save_steps == 0:
+                self.save_model("last")
             if profile_steps and n_steps == profile_steps and self.epoch == 0:
                 jax.block_until_ready(step_metrics["loss"])
                 jax.profiler.stop_trace()
@@ -313,6 +347,10 @@ class Trainer:
                      "train/step_time_s": time.time() - t0},
                     self.global_step)
         self.params, self.opt_state, self.extra_vars, _ = state
+        # epoch complete: subsequent checkpoints are epoch-boundary ones
+        # (resume restarts the next epoch's key chain from self.key)
+        self._step_in_epoch = 0
+        self._loop_key = None
         dt = time.time() - t_epoch
         mean_loss = running / max(n_steps, 1)
         throughput = samples / dt if dt > 0 else 0.0

@@ -50,23 +50,31 @@ def save_checkpoint(path: str | Path, *, params: Any, opt_state: Any = None,
                     extra_vars: Any = None, epoch: int = 0,
                     best_eval: Optional[float] = None,
                     jax_key: Optional[jax.Array] = None,
-                    step: int = 0, metadata: Optional[Dict] = None,
+                    step: int = 0, step_in_epoch: int = 0,
+                    loop_key: Optional[jax.Array] = None,
+                    metadata: Optional[Dict] = None,
                     host_rng_states: Optional[Dict[str, Any]] = None) -> Path:
     """Write an atomic checkpoint (tmp + rename).
 
     ``host_rng_states`` carries named ``np.random.Generator`` states (loader
     shuffle, processor augmentation) so data order and augmentation streams
-    resume bitwise too, not just the global RNGs.
+    resume bitwise too, not just the global RNGs. ``step_in_epoch`` +
+    ``loop_key`` (the in-flight epoch PRNG key from the train-step state)
+    make MID-epoch checkpoints exactly resumable: the Trainer restarts the
+    epoch's index-derived batch stream at that offset and continues the
+    dropout key chain instead of re-splitting.
     """
     payload = _build_payload(
         params=params, opt_state=opt_state, extra_vars=extra_vars,
         epoch=epoch, best_eval=best_eval, jax_key=jax_key, step=step,
+        step_in_epoch=step_in_epoch, loop_key=loop_key,
         metadata=metadata, host_rng_states=host_rng_states)
     return _write_payload(Path(path), payload)
 
 
 def _build_payload(*, params, opt_state=None, extra_vars=None, epoch=0,
-                   best_eval=None, jax_key=None, step=0, metadata=None,
+                   best_eval=None, jax_key=None, step=0, step_in_epoch=0,
+                   loop_key=None, metadata=None,
                    host_rng_states=None, copy=False) -> Dict:
     """Synchronous half: host-fetch every pytree (runs the multi-process
     collective gathers in main-thread program order; REQUIRED before a
@@ -79,11 +87,13 @@ def _build_payload(*, params, opt_state=None, extra_vars=None, epoch=0,
         "extra_vars": _to_host(extra_vars, copy=copy),
         "epoch": epoch,
         "step": step,
+        "step_in_epoch": int(step_in_epoch),
         "best_eval": best_eval,
         "np_rng_state": np.random.get_state(),
         "py_rng_state": random.getstate(),
         "host_rng_states": host_rng_states or {},
         "jax_key": None if jax_key is None else np.asarray(jax.random.key_data(jax_key)),
+        "loop_key": None if loop_key is None else np.asarray(jax.random.key_data(loop_key)),
         "metadata": metadata or {},
     }
 
@@ -162,6 +172,9 @@ def load_checkpoint(path: str | Path, *, restore_rng: bool = True) -> Dict[str, 
     if payload.get("jax_key") is not None:
         payload["jax_key"] = jax.random.wrap_key_data(
             jax.numpy.asarray(payload["jax_key"]))
+    if payload.get("loop_key") is not None:
+        payload["loop_key"] = jax.random.wrap_key_data(
+            jax.numpy.asarray(payload["loop_key"]))
     return payload
 
 

@@ -188,3 +188,88 @@ def test_clip_bpe_canonical_ids():
     ids = tok("hello world!")
     n = int((ids != 0).sum())
     assert ids[:n].tolist() == [49406, 3306, 1002, 256, 49407]
+
+
+class _IdxDataset:
+    """Raw-record stub whose processor passes batches through and records
+    the per-batch keys the loader derives."""
+
+    def __init__(self, n=13):
+        self.n = n
+        outer = self
+
+        class _P:
+            def __init__(self):
+                self.keys = []
+
+            def process_batch(self, b, key=None):
+                self.keys.append(key)
+                return b
+
+        self.processor = _P()
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"idx": np.asarray(i)}
+
+
+def test_loader_epoch_derived_shuffle_and_skip():
+    """Stateless loader randomness: the permutation is a pure function of
+    (seed, epoch); start_batch=K reproduces exactly the suffix of the epoch
+    (batches AND augmentation keys) — the mid-epoch-resume contract."""
+    ds = _IdxDataset()
+    dl = DataLoader(ds, batch_size=4, shuffle=True, seed=7, prefetch=1)
+
+    dl.set_epoch(3)
+    full = [b["idx"].copy() for b in dl]
+    import jax
+    keys_full = [np.asarray(jax.random.key_data(k)) for k in ds.processor.keys]
+    ds.processor.keys.clear()
+
+    # same epoch -> identical permutation and keys (no stream advanced)
+    again = [b["idx"].copy() for b in dl]
+    for a, b in zip(full, again):
+        np.testing.assert_array_equal(a, b)
+    keys_again = [np.asarray(jax.random.key_data(k)) for k in ds.processor.keys]
+    for a, b in zip(keys_full, keys_again):
+        np.testing.assert_array_equal(a, b)
+    ds.processor.keys.clear()
+
+    # different epoch -> different permutation
+    dl.set_epoch(4)
+    other = [b["idx"].copy() for b in dl]
+    assert any(not np.array_equal(a, b) for a, b in zip(full, other))
+    ds.processor.keys.clear()
+
+    # start_batch skips WITHOUT building the skipped batches, and the suffix
+    # is bitwise the full epoch's suffix
+    dl.set_epoch(3)
+    dl.start_batch = 1
+    rest = [b["idx"].copy() for b in dl]
+    assert len(rest) == len(full) - 1
+    for a, b in zip(full[1:], rest):
+        np.testing.assert_array_equal(a, b)
+    keys_rest = [np.asarray(jax.random.key_data(k)) for k in ds.processor.keys]
+    for a, b in zip(keys_full[1:], keys_rest):
+        np.testing.assert_array_equal(a, b)
+    # start_batch is one-shot
+    assert dl.start_batch == 0
+    assert len(list(dl)) == len(full)
+
+
+def test_loader_prefetch_matches_sequential():
+    """The prefetch thread yields the same batches as prefetch=1 (stateless
+    keys make the producer's lookahead invisible)."""
+    ds1, ds2 = _IdxDataset(), _IdxDataset()
+    dl1 = DataLoader(ds1, batch_size=4, shuffle=True, seed=9, prefetch=1)
+    dl2 = DataLoader(ds2, batch_size=4, shuffle=True, seed=9, prefetch=2)
+    dl1.set_epoch(1)
+    dl2.set_epoch(1)
+    for a, b in zip(dl1, dl2):
+        np.testing.assert_array_equal(a["idx"], b["idx"])
+    import jax
+    for ka, kb in zip(ds1.processor.keys, ds2.processor.keys):
+        np.testing.assert_array_equal(np.asarray(jax.random.key_data(ka)),
+                                      np.asarray(jax.random.key_data(kb)))

@@ -137,7 +137,8 @@ def test_loader_process_slices_partition_global_batch():
     from bifold_tpu.data.loader import DataLoader
 
     class _DS:
-        processor = type("P", (), {"process_batch": staticmethod(lambda b: b)})()
+        processor = type("P", (), {
+            "process_batch": staticmethod(lambda b, key=None: b)})()
 
         def __len__(self):
             return 13

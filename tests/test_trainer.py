@@ -55,15 +55,13 @@ def test_checkpoint_resume_bitwise_params(trained):
     for a, b in zip(jax.tree_util.tree_leaves(trainer.params),
                     jax.tree_util.tree_leaves(t2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    # host generator streams (shuffle order, augmentation) resume bitwise to
-    # the states captured at save time (the live trainer's processor stream
-    # has advanced since — eval batches draw from it)
+    # host generator streams (direct-call processor augmentation) resume
+    # bitwise to the states captured at save time; loader shuffle order and
+    # batch keys are index-derived (stateless), so they carry no state
     import pickle
     with open(trainer.ckpt_dir / "last.ckpt", "rb") as f:
         saved = pickle.load(f)["host_rng_states"]
     assert saved, "checkpoint must carry host generator states"
-    assert (t2.train_dataloader._rng.bit_generator.state
-            == saved["train_loader"])
     assert t2.processor._rng.bit_generator.state == saved["processor"]
 
 
@@ -535,3 +533,73 @@ def test_trainer_gradient_accumulation_sharded(tmp_path):
     trainer2 = Trainer(Config(cfg), run_dir=tmp_path / "run")
     trainer2.prepare_train()
     assert trainer2.epoch == 2
+
+
+def test_midepoch_interrupt_resume_bitwise(tmp_path):
+    """A mid-epoch interrupt resumes EXACTLY: the continued run's final
+    params are bitwise identical to an uninterrupted run's. Exercises the
+    whole contract — index-derived loader order + batch keys, the
+    checkpointed in-flight loop key, and step_in_epoch skip-ahead. (The
+    reference can only resume at epoch granularity, __main__.py:272-302.)"""
+    import jax
+    import pytest as _pytest
+
+    def cfg_for(run_dir):
+        return compose([
+            "train_dataset=synthetic", "test_dataset=null", "model=siglip",
+            "train_dataset.n_samples=32", "train_dataset.image_size=64",
+            "model.image_size=64", "model.automodel_name=tiny",
+            "model.dim=64", "model.depth=1", "model.heads=4", "model.r=2",
+            "epochs=2", "eval_epochs=2", "batch_size=8", "test_batch_size=8",
+            "simulator=null", f"run_dir={run_dir}", "log_every=1",
+        ])
+
+    # reference run: straight through (4 steps/epoch x 2 epochs)
+    ta = Trainer(Config(cfg_for(tmp_path / "a")), run_dir=tmp_path / "a")
+    ta.prepare_train()
+    ta.train()
+    assert ta.global_step == 8
+
+    # interrupted run: die entering step 6 (mid epoch 1), then resume
+    tb = Trainer(Config(cfg_for(tmp_path / "b")), run_dir=tmp_path / "b")
+    tb.prepare_train()
+    real_step, calls = tb._train_step, {"n": 0}
+
+    def boom(state, batch):
+        calls["n"] += 1
+        if calls["n"] == 6:
+            raise KeyboardInterrupt
+        return real_step(state, batch)
+
+    tb._train_step = boom
+    with _pytest.raises(KeyboardInterrupt):
+        tb.train()
+    assert tb.global_step == 5
+
+    tb2 = Trainer(Config(cfg_for(tmp_path / "b")), run_dir=tmp_path / "b")
+    tb2.prepare_train()  # auto-resume from the interrupt checkpoint
+    assert tb2.epoch == 1 and tb2._resume_step_in_epoch == 1
+    assert tb2._resume_loop_key is not None
+    tb2.train()
+    assert tb2.global_step == 8
+
+    for a, b in zip(jax.tree_util.tree_leaves(ta.params),
+                    jax.tree_util.tree_leaves(tb2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_save_steps_periodic_midepoch_checkpoint(tmp_path):
+    """save_steps=N writes a resumable mid-epoch checkpoint every N global
+    steps (long-epoch production runs must not lose an epoch of work)."""
+    cfg = tiny_cfg(tmp_path, extra=("train_dataset.n_samples=32",
+                                    "save_steps=3", "epochs=1",
+                                    "eval_epochs=0"))
+    t = Trainer(Config(cfg), run_dir=tmp_path / "run")
+    t.prepare_train()
+    t.train_epoch()  # 4 steps -> one periodic save at step 3
+    import pickle
+    with open(t.ckpt_dir / "last.ckpt", "rb") as f:
+        payload = pickle.load(f)
+    assert payload["step"] == 3
+    assert payload["step_in_epoch"] == 3
+    assert payload["loop_key"] is not None
