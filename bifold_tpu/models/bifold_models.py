@@ -66,6 +66,13 @@ class SigLip(nn.Module):
     heads: int = 16
     mlp_ratio: int = 4
     dropout: float = 0.0
+    # fusion-FFN Mixture-of-Experts (TPU-native capacity extension; 0 = the
+    # reference's dense FFN). moe_aux_weight scales the Switch load-balance
+    # loss the train step adds (parallel.make_train_step).
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 0.01
     requires_graph: bool = False
     constrain_pick_mask: bool = True
     legacy_query_mask: bool = False
@@ -97,6 +104,8 @@ class SigLip(nn.Module):
     def _fusion_kwargs(self):
         return dict(heads=self.heads, depth=self.depth, dropout=self.dropout,
                     mlp_ratio=self.mlp_ratio,
+                    moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
+                    moe_capacity_factor=self.moe_capacity_factor,
                     legacy_query_mask=self.legacy_query_mask, remat=self.remat)
 
     def _head(self):

@@ -34,6 +34,11 @@ class ConcatTransformer(nn.Module):
     num_modalities: int = 2
     num_registers: int = 0
     legacy_query_mask: bool = False
+    # moe_experts > 0 swaps every block's dense FFN for a Switch-style MoE
+    # (TPU-native capacity extension; the reference's fusion is dense)
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
     remat: bool = False
     dtype: Any = jnp.float32
 
@@ -76,6 +81,8 @@ class ConcatTransformer(nn.Module):
             dim=self.dim, depth=self.depth, heads=self.heads,
             dim_head=self.dim // self.heads, mlp_dim=self.dim * self.mlp_ratio,
             fused_qkv=True, dropout=self.dropout, remat=self.remat,
+            moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
+            moe_capacity_factor=self.moe_capacity_factor,
             ln_eps=1e-5,  # torch nn.LayerNorm default (reference modules.py:11)
             dtype=self.dtype, name="transformer_encoder",
         )(x, key_mask, legacy_query_mask=legacy, deterministic=deterministic)

@@ -20,6 +20,7 @@ __all__ = [
     "LayerNorm",
     "MultiHeadAttention",
     "FeedForward",
+    "MoEFeedForward",
     "TransformerBlock",
     "Transformer",
     "gelu_exact",
@@ -304,6 +305,48 @@ class FeedForward(nn.Module):
         return x
 
 
+class MoEFeedForward(nn.Module):
+    """Mixture-of-Experts drop-in for :class:`FeedForward`: Switch/GShard
+    top-k capacity routing over ``num_experts`` per-expert 2-layer gelu FFNs
+    (static shapes throughout — routing is three einsums, ops/moe.py). The
+    reference has no MoE (its FFNs are dense, modules.py:18-30); this is the
+    TPU-native capability for scaling FFN parameters, enabled from config
+    via ``model.moe_experts``. Sows the Switch load-balance loss into the
+    ``moe_losses`` collection; ``parallel.make_train_step`` folds it into
+    the train loss (weight ``model.moe_aux_weight``)."""
+
+    dim: int
+    hidden_dim: int
+    num_experts: int
+    top_k: int = 1
+    capacity_factor: float = 1.25
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        from bifold_tpu.ops import moe as moe_ops
+
+        e = self.num_experts
+        init = nn.initializers.normal(0.02)
+        params = {
+            "router": self.param("router", init, (self.dim, e)),
+            "w1": self.param("w1", init, (e, self.dim, self.hidden_dim)),
+            "b1": self.param("b1", nn.initializers.zeros,
+                             (e, self.hidden_dim)),
+            "w2": self.param("w2", init, (e, self.hidden_dim, self.dim)),
+            "b2": self.param("b2", nn.initializers.zeros, (e, self.dim)),
+        }
+        x = x.astype(self.dtype)
+        out, aux = moe_ops.moe_ffn(x, params, top_k=self.top_k,
+                                   capacity_factor=self.capacity_factor,
+                                   return_aux=True)
+        self.sow("moe_losses", "load_balance", aux)
+        if self.dropout > 0:
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out
+
+
 class TransformerBlock(nn.Module):
     """Pre-norm residual block: x + attn(ln(x)); x + mlp(ln(x))."""
 
@@ -319,7 +362,24 @@ class TransformerBlock(nn.Module):
     lora_alpha: float = 1.0
     lora_dropout: float = 0.0
     ln_eps: float = 1e-6
+    # moe_experts > 0 swaps the dense FFN for MoEFeedForward (param name
+    # stays "mlp"; layout differs, so it is a from-scratch configuration,
+    # not a converted-checkpoint one)
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
     dtype: Any = jnp.float32
+
+    def _mlp(self):
+        if self.moe_experts > 0:
+            return MoEFeedForward(
+                dim=self.dim, hidden_dim=self.mlp_dim,
+                num_experts=self.moe_experts, top_k=self.moe_top_k,
+                capacity_factor=self.moe_capacity_factor,
+                dropout=self.dropout, dtype=self.dtype, name="mlp")
+        return FeedForward(
+            dim=self.dim, hidden_dim=self.mlp_dim, dropout=self.dropout,
+            activation=self.activation, dtype=self.dtype, name="mlp")
 
     @nn.compact
     def __call__(self, x, key_mask=None, *, pending=None, legacy_query_mask=None,
@@ -343,10 +403,7 @@ class TransformerBlock(nn.Module):
                      deterministic=deterministic)
             x = x + h
             h = LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x)
-            h = FeedForward(
-                dim=self.dim, hidden_dim=self.mlp_dim, dropout=self.dropout,
-                activation=self.activation, dtype=self.dtype, name="mlp",
-            )(h, deterministic=deterministic)
+            h = self._mlp()(h, deterministic=deterministic)
             return x + h
         # Fused-residual wiring (BIFOLD_LN_KERNEL=fused): the caller carries
         # (residual, pending_delta) so every residual add lands inside a
@@ -356,10 +413,7 @@ class TransformerBlock(nn.Module):
                  deterministic=deterministic)
         s2, n2 = LayerNorm(epsilon=self.ln_eps, dtype=self.dtype,
                            name="norm2")(s1, residual=a)
-        m = FeedForward(
-            dim=self.dim, hidden_dim=self.mlp_dim, dropout=self.dropout,
-            activation=self.activation, dtype=self.dtype, name="mlp",
-        )(n2, deterministic=deterministic)
+        m = self._mlp()(n2, deterministic=deterministic)
         return s2, m
 
 
@@ -430,6 +484,9 @@ class Transformer(nn.Module):
     lora_alpha: float = 1.0
     lora_dropout: float = 0.0
     ln_eps: float = 1e-6
+    moe_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 1.25
     remat: bool = False
     scan_layers: bool = True
     dtype: Any = jnp.float32
@@ -441,7 +498,9 @@ class Transformer(nn.Module):
             causal=self.causal, dropout=self.dropout,
             activation=self.activation, lora_rank=self.lora_rank,
             lora_alpha=self.lora_alpha, lora_dropout=self.lora_dropout,
-            ln_eps=self.ln_eps, dtype=self.dtype)
+            ln_eps=self.ln_eps, moe_experts=self.moe_experts,
+            moe_top_k=self.moe_top_k,
+            moe_capacity_factor=self.moe_capacity_factor, dtype=self.dtype)
 
     @nn.compact
     def __call__(self, x, key_mask=None, *, legacy_query_mask=None, deterministic=True):
@@ -470,7 +529,10 @@ class Transformer(nn.Module):
                 unroll = self.depth if on_tpu else 1
             scan = nn.scan(
                 _ScanBody,
-                variable_axes={"params": 0},
+                # moe_losses: per-layer sown load-balance scalars stack over
+                # the depth axis (declared unconditionally; absent when the
+                # block has no MoE)
+                variable_axes={"params": 0, "moe_losses": 0},
                 split_rngs={"params": True, "dropout": True},
                 length=self.depth,
                 in_axes=(nn.broadcast, nn.broadcast),

@@ -65,17 +65,30 @@ def init_moe_params(key, dim: int, hidden: int, num_experts: int,
     }
 
 
-def route(x, router, *, top_k: int, capacity: int):
+def route(x, router, *, top_k: int, capacity: int, return_aux: bool = False):
     """Static-shape top-k capacity routing.
 
-    Returns (dispatch (T, E, C) {0,1}, combine (T, E, C) gate-weighted).
-    Greedy k passes; within each pass, slot order = token order (cumsum
-    priority); overflow tokens get all-zero rows (dropped).
+    Returns (dispatch (T, E, C) {0,1}, combine (T, E, C) gate-weighted);
+    with ``return_aux`` also the Switch load-balance loss
+    ``E * sum_e f_e * P_e`` (f_e = fraction of tokens whose FIRST choice is
+    expert e, pre-capacity; P_e = mean router probability) — 1.0 at perfect
+    balance, to be weighted into the train loss so the router cannot
+    collapse onto a few experts. Greedy k passes; within each pass, slot
+    order = token order (cumsum priority); overflow tokens get all-zero
+    rows (dropped).
     """
     t, _ = x.shape
     logits = x.astype(jnp.float32) @ router.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)                     # (T, E)
     e = probs.shape[-1]
+    aux = None
+    if return_aux:
+        first = jax.nn.one_hot(jnp.argmax(probs, axis=-1), e,
+                               dtype=jnp.float32)               # (T, E)
+        # f_e uses a straight count (no gradient path), P_e carries the
+        # router gradient — the Switch formulation (arXiv 2101.03961 eq. 4)
+        aux = e * jnp.sum(jnp.mean(jax.lax.stop_gradient(first), axis=0)
+                          * jnp.mean(probs, axis=0))
 
     dispatch = jnp.zeros((t, e, capacity), jnp.float32)
     combine = jnp.zeros((t, e, capacity), jnp.float32)
@@ -98,6 +111,8 @@ def route(x, router, *, top_k: int, capacity: int):
         combine = combine + d * gate[:, None, None]
         used = used + jnp.sum(onehot * keep[:, None], axis=0).astype(jnp.int32)
         masked = masked * (1.0 - onehot)                        # next pass
+    if return_aux:
+        return dispatch, combine, aux
     return dispatch, combine
 
 
@@ -116,14 +131,18 @@ def _capacity(tokens: int, num_experts: int, top_k: int,
 
 
 def moe_ffn(x, params: Dict, *, top_k: int = 1,
-            capacity_factor: float = 1.25):
-    """Dense (single-device) MoE FFN: (..., D) -> (..., D)."""
+            capacity_factor: float = 1.25, return_aux: bool = False):
+    """Dense (single-device) MoE FFN: (..., D) -> (..., D).
+
+    ``return_aux`` also returns the Switch load-balance loss (see
+    :func:`route`)."""
     lead, d = x.shape[:-1], x.shape[-1]
     x2 = x.reshape(-1, d)
     e = params["router"].shape[-1]
     cap = _capacity(x2.shape[0], e, top_k, capacity_factor)
-    dispatch, combine = route(x2, params["router"], top_k=top_k,
-                              capacity=cap)
+    routed = route(x2, params["router"], top_k=top_k, capacity=cap,
+                   return_aux=return_aux)
+    dispatch, combine = routed[0], routed[1]
     expert_in = jnp.einsum("tec,td->ecd", dispatch,
                            x2.astype(jnp.float32))
     y = _expert_ffn(expert_in, params["w1"].astype(jnp.float32),
@@ -131,7 +150,10 @@ def moe_ffn(x, params: Dict, *, top_k: int = 1,
                     params["w2"].astype(jnp.float32),
                     params["b2"].astype(jnp.float32))
     out = jnp.einsum("tec,ecd->td", combine, y)
-    return out.astype(x.dtype).reshape(*lead, d)
+    out = out.astype(x.dtype).reshape(*lead, d)
+    if return_aux:
+        return out, routed[2]
+    return out
 
 
 def expert_parallel_ffn(x, params: Dict, mesh: Mesh, *, ep_axis: str = "ep",

@@ -255,7 +255,8 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
 def make_train_step(model, loss_fn: Callable, tx, *,
                     has_batch_stats: bool = False,
                     donate: bool = True,
-                    trainable: Any = None) -> Callable:
+                    trainable: Any = None,
+                    moe_aux_weight: float = 0.0) -> Callable:
     """Build the jitted SPMD train step.
 
     step((params, opt_state, extra_vars, key), batch)
@@ -292,15 +293,28 @@ def make_train_step(model, loss_fn: Callable, tx, *,
 
         def compute_loss(p):
             variables = {"params": p, **extra}
-            if has_batch_stats:
+            mutable = (["batch_stats"] if has_batch_stats else []) \
+                + (["moe_losses"] if moe_aux_weight else [])
+            if mutable:
                 out, mutated = model.apply(
                     variables, batch, deterministic=False,
-                    rngs={"dropout": dropout_key}, mutable=["batch_stats"])
+                    rngs={"dropout": dropout_key}, mutable=mutable)
+                mutated = dict(mutated)
             else:
                 out = model.apply(variables, batch, deterministic=False,
                                   rngs={"dropout": dropout_key})
                 mutated = {}
             loss, inter = loss_fn(out, batch)
+            # MoE load-balance penalty: mean of the sown per-layer Switch
+            # aux losses (stacked over scanned depth), weighted in — the
+            # sown collection is consumed here, NOT merged back into extra
+            aux_tree = mutated.pop("moe_losses", None)
+            if moe_aux_weight and aux_tree:
+                vals = jax.tree_util.tree_leaves(aux_tree)
+                n = sum(v.size for v in vals)
+                aux = sum(jnp.sum(v.astype(jnp.float32)) for v in vals) / n
+                loss = loss + moe_aux_weight * aux
+                inter = {**inter, "moe_load_balance": aux}
             return loss, (inter, mutated)
 
         if partition:

@@ -148,11 +148,13 @@ class Trainer:
         self.opt_state = self.tx.init(self.params)
         self.opt_state = jax.device_put(
             self.opt_state, parallel.param_sharding(self.mesh, self.opt_state))
+        moe_aux = (float(getattr(self.model, "moe_aux_weight", 0.0))
+                   if int(getattr(self.model, "moe_experts", 0) or 0) else 0.0)
         self._train_step = parallel.make_train_step(
             self.model, self.loss_fn, self.tx,
             has_batch_stats=self.has_batch_stats,
             donate=bool(self.cfg.get("donate_state", True)),
-            trainable=mask)
+            trainable=mask, moe_aux_weight=moe_aux)
         self.load_model(prefer="last")
 
     # ------------------------------------------------------------------

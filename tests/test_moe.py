@@ -89,3 +89,93 @@ def test_expert_parallel_grads_match_dense(devices):
                     jax.tree_util.tree_leaves(ge)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_route_aux_loss_balance_extremes():
+    """Switch load-balance loss: 1.0 at perfect balance, E at collapse."""
+    d, e = 8, 4
+    # logits engineered: tokens split evenly across experts
+    router = jnp.eye(d, e) * 10.0
+    x = jnp.eye(8, d, dtype=jnp.float32)[:, :d]  # token t -> expert t%4... use explicit
+    x = jnp.concatenate([jnp.eye(4, d)] * 2, axis=0)  # 8 tokens, 2 per expert
+    _, _, aux = route(x, router, top_k=1, capacity=8, return_aux=True)
+    np.testing.assert_allclose(float(aux), 1.0, atol=0.05)
+
+    collapsed = jnp.zeros((d, e)).at[:, 1].set(10.0)
+    _, _, aux_c = route(jnp.ones((8, d)), collapsed, top_k=1, capacity=8,
+                        return_aux=True)
+    np.testing.assert_allclose(float(aux_c), e, atol=0.05)
+
+
+def test_moe_feedforward_module_matches_op():
+    """The flax MoEFeedForward wrapper == ops.moe_ffn on its own params,
+    and sows the load-balance loss."""
+    from bifold_tpu.models.layers import MoEFeedForward
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 10, 16)), jnp.float32)
+    mod = MoEFeedForward(dim=16, hidden_dim=32, num_experts=4, top_k=2,
+                         capacity_factor=4.0)
+    variables = mod.init(jax.random.key(0), x)
+    out, sown = mod.apply(variables, x, mutable=["moe_losses"])
+    ref, aux = moe_ffn(x, variables["params"], top_k=2, capacity_factor=4.0,
+                       return_aux=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    sown_aux = jax.tree_util.tree_leaves(sown["moe_losses"])[0]
+    np.testing.assert_allclose(float(sown_aux), float(aux), rtol=1e-6)
+
+
+def test_moe_model_trains_with_aux_loss(devices):
+    """model.moe_experts from config: the fusion stack's FFNs become MoE,
+    the sown per-layer load-balance losses ride the scanned depth axis into
+    the train loss, and router + expert params receive gradients."""
+    import optax
+
+    from bifold_tpu.losses import build_loss
+    from bifold_tpu.models import build_model
+
+    model = build_model({
+        "name": "siglip", "image_size": 32, "is_bimanual": False,
+        "patch_size": 16, "automodel_name": "tiny", "dim": 32, "depth": 2,
+        "heads": 4, "lora": False, "moe_experts": 4, "moe_top_k": 1,
+        "moe_aux_weight": 0.02,
+    })
+    assert model.moe_experts == 4
+
+    rng = np.random.default_rng(0)
+    b, s = 4, 32
+    batch = {
+        "rgb": jnp.asarray(rng.standard_normal((b, 3, s, s)), jnp.float32),
+        "instruction": jnp.asarray(rng.integers(0, 100, (b, 16)), jnp.int32),
+        "mask": jnp.asarray(np.ones((b, 1, s, s)), jnp.float32),
+        "pick_heatmap": jnp.asarray(rng.random((b, s, s)), jnp.float32),
+        "place_heatmap": jnp.asarray(rng.random((b, s, s)), jnp.float32),
+    }
+    variables = jax.jit(
+        lambda k: model.init(k, batch, deterministic=True))(jax.random.key(0))
+    params = variables["params"]
+    moe_leaves = [p for p in jax.tree_util.tree_flatten_with_path(params)[0]
+                  if "router" in jax.tree_util.keystr(p[0])]
+    assert moe_leaves, "fusion blocks must carry MoE routers"
+    # scanned stack: router stacked over depth
+    assert moe_leaves[0][1].shape == (2, 32, 4)
+
+    loss_fn = build_loss({"name": "bce_gaussmap", "is_bimanual": False,
+                          "mask_pick_heatmap": False})
+    tx = optax.sgd(1e-2)
+    step = parallel.make_train_step(model, loss_fn, tx, donate=False,
+                                    moe_aux_weight=0.02)
+    state = (params, tx.init(params), {}, jax.random.key(1))
+    state2, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert "moe_load_balance" in metrics
+    aux = float(metrics["moe_load_balance"])
+    assert 0.9 <= aux <= 4.1  # within [1, E] up to float slack
+    # router moved under SGD -> it received a gradient through the gates
+    def leaf(tree, match):
+        return [v for p, v in jax.tree_util.tree_flatten_with_path(tree)[0]
+                if match in jax.tree_util.keystr(p)]
+    delta = np.abs(np.asarray(leaf(state2[0], "router")[0])
+                   - np.asarray(leaf(params, "router")[0])).max()
+    assert delta > 0
