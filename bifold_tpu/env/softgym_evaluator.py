@@ -562,7 +562,8 @@ def run_softgym_eval(trainer) -> tuple:
         policy = ServingPolicy(ServingModel(
             trainer.model,
             {"params": trainer.params, **(trainer.extra_vars or {})},
-            trainer.processor, depth_wire_dtype="float16"))
+            trainer.processor, depth_wire_dtype="float16",
+            quantize=cfg.get("serving_quantize") or None))
     else:
         policy = lambda batch: trainer.get_action(batch, return_raw_output=True)  # noqa: E731
     if trainer.model.is_bimanual:

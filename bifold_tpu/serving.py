@@ -28,7 +28,7 @@ from bifold_tpu.env.action import Action
 from bifold_tpu.models import build_model, decode_action
 
 __all__ = ["ServingModel", "ServingPolicy", "ExportedServingModel",
-           "make_serve_program"]
+           "make_serve_program", "quantize_weights", "dequantize_weights"]
 
 _INT_INPUTS = ("instruction", "ctx_count")
 _U8_INPUTS = ("rgb", "ctx_rgb")
@@ -75,6 +75,56 @@ def _pack_observation(batched, depth_f16: bool):
     return np.concatenate(parts), tuple(schema)
 
 
+_QUANT_TAG = "__int8_q__"
+
+
+def quantize_weights(tree, min_size: int = 2 ** 16):
+    """Symmetric per-output-channel int8 weight-only quantization of large
+    MATMUL-weight leaves. Excluded: small leaves (LayerNorm scales, biases
+    — exactness is cheap), and gather/add-consumed tables (vocab token
+    embeddings, positional embeddings, learned modality tokens — matched by
+    "token"/"pos" in the param path): those are never a matmul operand, so
+    int8 saves no MXU-read bandwidth, and the in-program dequantize would
+    materialize the FULL vocab table per call where the float original only
+    pays a tiny per-token gather. patch_embedding (a conv matmul) stays
+    quantized. The dequantize runs INSIDE the serve program, where XLA
+    fuses the int8 -> compute-dtype convert into the consuming matmul's
+    operand read — so quantized leaves cut weight HBM reads and the export
+    artifact's bytes roughly 4x for the covered bulk.
+    Each quantized leaf becomes a {_QUANT_TAG: int8, "scale": f32} subtree
+    that :func:`dequantize_weights` restores."""
+    def q(path, x):
+        names = "/".join(str(getattr(k, "key", k)) for k in path).lower()
+        if ("token" in names or "pos" in names
+                or not (hasattr(x, "ndim") and x.ndim >= 2
+                        and x.size >= min_size
+                        and x.dtype in (jnp.float32, jnp.bfloat16))):
+            return x
+        xf = np.asarray(x, dtype=np.float32)
+        absmax = np.max(np.abs(xf), axis=tuple(range(xf.ndim - 1)),
+                        keepdims=True)
+        scale = (absmax / 127.0).astype(np.float32)
+        qv = np.clip(np.round(xf / np.maximum(scale, 1e-30)),
+                     -127, 127).astype(np.int8)
+        return {_QUANT_TAG: jnp.asarray(qv), "scale": jnp.asarray(scale)}
+    return jax.tree_util.tree_map_with_path(q, tree)
+
+
+def dequantize_weights(tree, compute_dtype):
+    """Inverse of :func:`quantize_weights`; identity on unquantized trees
+    (so every serve program can call it unconditionally)."""
+    def is_q(v):
+        return isinstance(v, dict) and _QUANT_TAG in v
+
+    def dq(v):
+        if is_q(v):
+            return v[_QUANT_TAG].astype(compute_dtype) \
+                * v["scale"].astype(compute_dtype)
+        return v
+
+    return jax.tree_util.tree_map(dq, tree, is_leaf=is_q)
+
+
 def make_serve_program(model, threshold, fields, spec, schema,
                        depth_f16: bool):
     """Build the jitted packed-bytes -> (pixel actions, raw outputs) serve
@@ -84,6 +134,8 @@ def make_serve_program(model, threshold, fields, spec, schema,
     from bifold_tpu.data.processor import _core
 
     def serve(variables, flat):
+        variables = dequantize_weights(
+            variables, getattr(model, "dtype", jnp.float32) or jnp.float32)
         inputs = {}
         for name, off, shape in schema:
             size = int(np.prod(shape))
@@ -125,9 +177,20 @@ class ServingModel:
     def __init__(self, model, variables, processor: Processor,
                  threshold: Optional[float] = None,
                  depth_wire_dtype: str = "float32",
-                 cast_params: bool = True):
+                 cast_params: bool = True,
+                 quantize: Optional[str] = None,
+                 quantize_min_size: int = 2 ** 16):
+        assert quantize in (None, "int8")
         self.model = model
         self.variables = jax.tree_util.tree_map(jnp.asarray, variables)
+        self.quantize = quantize
+        if quantize == "int8":
+            # weight-only int8 (per-output-channel symmetric), quantized
+            # straight from the checkpoint's f32 masters; supersedes the
+            # bf16 precast for the big leaves (dequant emits compute dtype)
+            self.variables = quantize_weights(self.variables,
+                                              min_size=quantize_min_size)
+            cast_params = False
         # pre-cast big float32 leaves to the model's compute dtype ONCE:
         # the forward casts them per use anyway (flax dtype semantics), so
         # results are identical (asserted in test_serving_precast), but the
@@ -152,6 +215,8 @@ class ServingModel:
         self._depth_wire_f16 = depth_wire_dtype == "float16"
 
         def _serve(variables, batch):
+            variables = dequantize_weights(
+                variables, getattr(model, "dtype", jnp.float32) or jnp.float32)
             out = model.apply(variables, batch, deterministic=True)
             decoded = decode_action(
                 out, batch, is_bimanual=model.is_bimanual,
@@ -197,7 +262,9 @@ class ServingModel:
     @classmethod
     def from_checkpoint(cls, checkpoint_path: str, cfg: Config | dict,
                         threshold: Optional[float] = None,
-                        depth_wire_dtype: str = "float32") -> "ServingModel":
+                        depth_wire_dtype: str = "float32",
+                        quantize: Optional[str] = None,
+                        quantize_min_size: int = 2 ** 16) -> "ServingModel":
         from bifold_tpu.utils.checkpoint import load_checkpoint
 
         cfg = Config(cfg) if not isinstance(cfg, Config) else cfg
@@ -210,7 +277,8 @@ class ServingModel:
             max_context_length=mcl,
             autoprocessor_name=dict(cfg["model"]).get("automodel_name"))
         return cls(model, variables, processor, threshold=threshold,
-                   depth_wire_dtype=depth_wire_dtype)
+                   depth_wire_dtype=depth_wire_dtype, quantize=quantize,
+                   quantize_min_size=quantize_min_size)
 
     # ------------------------------------------------------------------
 

@@ -603,3 +603,92 @@ def test_save_steps_periodic_midepoch_checkpoint(tmp_path):
     assert payload["step"] == 3
     assert payload["step_in_epoch"] == 3
     assert payload["loop_key"] is not None
+
+
+def test_quantize_weights_roundtrip_bound():
+    """Per-output-channel symmetric int8: dequant error <= scale/2 per
+    element (half a quantization step), small leaves untouched."""
+    import jax
+    import jax.numpy as jnp
+
+    from bifold_tpu.serving import dequantize_weights, quantize_weights
+
+    rng = np.random.default_rng(0)
+    w = np.asarray(rng.standard_normal((512, 256)) * 3.0, np.float32)
+    small = np.asarray(rng.standard_normal((16,)), np.float32)
+    emb = np.asarray(rng.standard_normal((64, 64)), np.float32)
+    tree = {"dense": {"kernel": jnp.asarray(w)}, "ln": {"scale": jnp.asarray(small)},
+            "token_embedding": {"embedding": jnp.asarray(emb)},
+            "pos_embedding": jnp.asarray(emb)}
+    qt = quantize_weights(tree, min_size=1024)
+    assert qt["dense"]["kernel"]["__int8_q__"].dtype == jnp.int8
+    assert qt["ln"]["scale"].shape == (16,)  # untouched
+    # gather/add-consumed tables stay float (never a matmul operand; the
+    # in-program dequant would materialize the whole table per call)
+    assert qt["token_embedding"]["embedding"].dtype == jnp.float32
+    assert qt["pos_embedding"].dtype == jnp.float32
+    back = dequantize_weights(qt, jnp.float32)
+    step = np.abs(w).max(axis=0, keepdims=True) / 127.0
+    assert np.all(np.abs(np.asarray(back["dense"]["kernel"]) - w)
+                  <= step / 2 + 1e-6)
+    np.testing.assert_array_equal(np.asarray(back["ln"]["scale"]), small)
+
+
+def test_serving_int8_quantized(trained, tmp_path):
+    """quantize='int8' weight-only serving: predictions stay close to the
+    f32 server's, the stored weights actually shrink, and the jax.export
+    artifact round-trips the quantized tree (dequant is inside the
+    program)."""
+    import jax
+    import jax.numpy as jnp
+
+    tmp_dir, cfg, trainer, _ = trained
+    from bifold_tpu.serving import ServingModel
+
+    rng = np.random.default_rng(1)
+    rgb = rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)
+    depth = rng.random((96, 96)).astype(np.float32)
+    mask = np.ones((96, 96), np.float32)
+    obs = dict(rgb=rgb, depth=depth, mask=mask,
+               instruction="fold the towel in half")
+
+    base = ServingModel.from_checkpoint(str(trainer.ckpt_dir / "last.ckpt"),
+                                        cfg)
+    # the tiny model's matmul kernels are all < 2**16 elements, so drop the
+    # size floor to cover them (the flagship keeps the default)
+    quant = ServingModel.from_checkpoint(str(trainer.ckpt_dir / "last.ckpt"),
+                                         cfg, quantize="int8",
+                                         quantize_min_size=4096)
+
+    def nbytes(tree, pred=lambda name: True):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        return sum(l.size * l.dtype.itemsize for p, l in flat
+                   if hasattr(l, "dtype")
+                   and pred("/".join(str(getattr(k, "key", k))
+                                     for k in p).lower()))
+    assert any(getattr(l, "dtype", None) == jnp.int8
+               for l in jax.tree_util.tree_leaves(quant.variables))
+    # the vocab token-embedding table must stay float...
+    is_tok = lambda n: "token_embedding" in n  # noqa: E731
+    assert nbytes(quant.variables, is_tok) == nbytes(base.variables, is_tok)
+    # ...while the matmul-weight bulk shrinks ~4x (int8 + per-channel scale)
+    not_excl = lambda n: "token" not in n and "pos" not in n  # noqa: E731
+    assert nbytes(quant.variables, not_excl) \
+        < 0.6 * nbytes(base.variables, not_excl)
+
+    _, r0 = base.predict(**obs, return_raw_output=True)
+    _, r1 = quant.predict(**obs, return_raw_output=True)
+    # weight-only int8 on a tiny random-trained model: heatmaps in sigmoid
+    # space stay close (exactness is not the contract — byte size is)
+    assert np.max(np.abs(np.asarray(r0["pick_heatmap"])
+                         - np.asarray(r1["pick_heatmap"]))) < 0.1
+
+    art = quant.export(tmp_path / "serve_int8.bifold", **obs)
+    loaded = ServingModel.load_exported(art)
+    a_live, r_live = quant.predict(**obs, return_raw_output=True)
+    a_exp, r_exp = loaded.predict(**obs, return_raw_output=True)
+    np.testing.assert_allclose(np.asarray(r_live["pick_heatmap"]),
+                               np.asarray(r_exp["pick_heatmap"]),
+                               rtol=2e-2, atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(a_live.pick),
+                                  np.asarray(a_exp.pick))

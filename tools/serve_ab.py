@@ -1,4 +1,5 @@
-"""One-off serving dtype A/B on the real chip: f32 vs bf16 forward.
+"""One-off serving dtype A/B on the real chip: f32 vs bf16 vs int8-weight
+forward.
 
 VERDICT r2 next #1 asks the batch-1 serving target to come with a measured
 f32-vs-quantized A/B. The shipped serve path runs the model in bfloat16 (the
@@ -32,7 +33,11 @@ def measure(dtype_name: str, image_size: int = 384, prof_iters: int = 10):
     from bifold_tpu.serving import ServingModel
     from xplane import device_busy_ms
 
-    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[dtype_name]
+    # "int8" = weight-only int8 quantization over the bf16 compute path
+    # (dequant inside the serve program) — halves weight HBM reads
+    quantize = "int8" if dtype_name == "int8" else None
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+             "int8": jnp.bfloat16}[dtype_name]
     model = build_model({
         "name": "siglip", "image_size": image_size, "is_bimanual": True,
         "patch_size": 16, "automodel_name": "siglip-base", "dim": 768,
@@ -53,7 +58,7 @@ def measure(dtype_name: str, image_size: int = 384, prof_iters: int = 10):
     variables = jax.jit(
         lambda k: model.init(k, init_sample, deterministic=True))(jax.random.key(0))
     server = ServingModel(model, variables, proc, threshold=0.01,
-                          depth_wire_dtype="float16")
+                          depth_wire_dtype="float16", quantize=quantize)
     rgb = rng.integers(0, 255, (s, s, 3), dtype=np.uint8)
     depth = rng.random((s, s)).astype(np.float32)
     mask = (rng.random((s, s)) > 0.5).astype(np.float32)
@@ -83,7 +88,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", str(ROOT / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     out = {}
-    for dtype_name in ("bfloat16", "float32"):
+    for dtype_name in ("bfloat16", "float32", "int8"):
         p50, onchip = measure(dtype_name)
         out[dtype_name] = {"p50_ms": round(p50, 2),
                            "onchip_measured_ms": round(onchip, 3)}
