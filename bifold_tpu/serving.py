@@ -126,12 +126,26 @@ def dequantize_weights(tree, compute_dtype):
 
 
 def make_serve_program(model, threshold, fields, spec, schema,
-                       depth_f16: bool):
+                       depth_f16: bool, mesh=None):
     """Build the jitted packed-bytes -> (pixel actions, raw outputs) serve
     program (module-level so compile-only checks can lower it against
     abstract variables — e.g. the sharded-serving HLO assertion in
-    __graft_entry__ — without materializing flagship weights)."""
+    __graft_entry__ — without materializing flagship weights).
+
+    ``mesh``: shard the pooled batch over the mesh's data axes right after
+    unpacking the wire (the flat byte upload itself stays replicated — its
+    per-input sections interleave batch rows, so only the unpacked arrays
+    have a batch dim to shard). Weights ride whatever sharding the caller
+    placed them with (tp/fsdp via ``parallel.param_sharding``). Skipped
+    per-input when the batch dim does not divide the data axes."""
     from bifold_tpu.data.processor import _core
+
+    if mesh is not None:
+        from bifold_tpu import parallel
+        batch_sh = parallel.batch_sharding(mesh)
+        n_data = int(np.prod([mesh.shape[a]
+                              for a in batch_sh.spec[0]])) if batch_sh.spec \
+            else 1
 
     def serve(variables, flat):
         variables = dequantize_weights(
@@ -153,6 +167,8 @@ def make_serve_program(model, threshold, fields, spec, schema,
                 raw_bytes = flat[off:off + 4 * size].reshape(size, 4)
                 x = jax.lax.bitcast_convert_type(raw_bytes, dtype)
                 x = x.reshape(shape)
+            if mesh is not None and shape[0] % n_data == 0:
+                x = jax.lax.with_sharding_constraint(x, batch_sh)
             inputs[name] = x
         # test-partition spec: no stochastic augmentation; key is unused
         sample = _core(spec, jax.random.key(0), inputs.get("rgb"),
@@ -179,9 +195,11 @@ class ServingModel:
                  depth_wire_dtype: str = "float32",
                  cast_params: bool = True,
                  quantize: Optional[str] = None,
-                 quantize_min_size: int = 2 ** 16):
+                 quantize_min_size: int = 2 ** 16,
+                 mesh=None):
         assert quantize in (None, "int8")
         self.model = model
+        self.mesh = mesh
         self.variables = jax.tree_util.tree_map(jnp.asarray, variables)
         self.quantize = quantize
         if quantize == "int8":
@@ -206,6 +224,16 @@ class ServingModel:
                     return x.astype(cdtype)
                 return x
             self.variables = jax.tree_util.tree_map(_cast, self.variables)
+        if mesh is not None:
+            # multi-chip serving: tp/fsdp-shard the weights (Megatron
+            # kernels over tp; ZeRO large leaves over fsdp — same
+            # name-keyed rules as training) and let the serve program
+            # shard pooled batches over the data axes. A quantized tree
+            # composes: the int8 payload shards like its kernel and the
+            # per-output-channel scale follows the kernel's output axis.
+            from bifold_tpu import parallel
+            self.variables = jax.device_put(
+                self.variables, parallel.param_sharding(mesh, self.variables))
         self.processor = processor
         self.threshold = float(model.threshold if threshold is None else threshold)
         # depth dominates the observation upload (float32 H*W vs uint8 rgb);
@@ -249,7 +277,7 @@ class ServingModel:
             return self._e2e_programs[key]
         prog = make_serve_program(self.model, self.threshold,
                                   self._action_fields(), spec, schema,
-                                  self._depth_wire_f16)
+                                  self._depth_wire_f16, mesh=self.mesh)
         self._e2e_programs[key] = prog
         return prog
 
@@ -264,7 +292,8 @@ class ServingModel:
                         threshold: Optional[float] = None,
                         depth_wire_dtype: str = "float32",
                         quantize: Optional[str] = None,
-                        quantize_min_size: int = 2 ** 16) -> "ServingModel":
+                        quantize_min_size: int = 2 ** 16,
+                        mesh=None) -> "ServingModel":
         from bifold_tpu.utils.checkpoint import load_checkpoint
 
         cfg = Config(cfg) if not isinstance(cfg, Config) else cfg
@@ -278,7 +307,7 @@ class ServingModel:
             autoprocessor_name=dict(cfg["model"]).get("automodel_name"))
         return cls(model, variables, processor, threshold=threshold,
                    depth_wire_dtype=depth_wire_dtype, quantize=quantize,
-                   quantize_min_size=quantize_min_size)
+                   quantize_min_size=quantize_min_size, mesh=mesh)
 
     # ------------------------------------------------------------------
 
@@ -417,6 +446,11 @@ class ServingModel:
             raise NotImplementedError(
                 "graph-conditioned models build data-dependent graphs "
                 "host-side; the one-dispatch export does not cover them")
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "export of a mesh-sharded server would pin the artifact to "
+                "this device count/topology; export from an unsharded "
+                "ServingModel (mesh=None) and shard at load time instead")
         from jax import export as jax_export
 
         raw = self.processor.make_raw(rgb=rgb, depth=depth, mask=mask,

@@ -305,3 +305,78 @@ def test_sharded_model_flash_matches_xla(devices, monkeypatch):
     assert abs(l1 - l2) < 1e-5, (l1, l2)
     for a, b_ in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(a, b_, atol=2e-4)
+
+
+def test_sharded_serving_matches_unsharded(devices):
+    """ServingModel(mesh=...): tp/fsdp-sharded weights + dp-sharded pooled
+    batch through the one-dispatch serve program == the unsharded server,
+    both plain and int8-quantized (multi-chip serving surface)."""
+    from bifold_tpu.data.processor import Processor
+    from bifold_tpu.models import build_model
+    from bifold_tpu.serving import ServingModel
+
+    mesh = parallel.make_mesh({"dp": 2, "fsdp": 2, "tp": 2})
+    model = build_model({
+        "name": "siglip", "image_size": 64, "is_bimanual": False,
+        "patch_size": 16, "automodel_name": "tiny", "dim": 64,
+        "lora": False, "depth": 1, "heads": 4}, dtype=jnp.float32)
+    proc = Processor(
+        {"model_image_size": 64, "text_encoder": None, "sigma": 5,
+         "requires_graph": False, "spatial_augment": False,
+         "strategy": "gmm", "mask_depth": True, "standardize_depth": False},
+        partition="test", autoprocessor_name="tiny")
+    s = 64
+    init_sample = {
+        "rgb": jnp.zeros((1, 3, s, s), jnp.float32),
+        "instruction": jnp.zeros((1, 64), jnp.int32),
+        "mask": jnp.ones((1, 1, s, s), jnp.float32),
+    }
+    variables = jax.jit(
+        lambda k: model.init(k, init_sample, deterministic=True)
+    )(jax.random.key(0))
+
+    rng = np.random.default_rng(7)
+    obs = [dict(rgb=rng.integers(0, 255, (96, 96, 3), dtype=np.uint8),
+                depth=rng.random((96, 96)).astype(np.float32),
+                mask=np.ones((96, 96), np.float32),
+                instruction=f"fold towel number {i}") for i in range(4)]
+
+    base = ServingModel(model, variables, proc, threshold=0.01)
+    sharded = ServingModel(model, variables, proc, threshold=0.01,
+                           mesh=mesh)
+    # weights actually landed tp-sharded on the mesh
+    qkv = sharded.variables["params"]["pick_place"]["fusion"][
+        "transformer_encoder"]["block_0"]["attn"]["to_qkv"]["kernel"]
+    assert qkv.sharding.spec == P(None, "tp")
+
+    a0, r0 = base.predict_batch(obs, return_raw_output=True)
+    a1, r1 = sharded.predict_batch(obs, return_raw_output=True)
+    np.testing.assert_allclose(np.asarray(r1["pick_heatmap"]),
+                               np.asarray(r0["pick_heatmap"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a1.pick), np.asarray(a0.pick))
+    np.testing.assert_array_equal(np.asarray(a1.place), np.asarray(a0.place))
+
+    # int8 + mesh compose: the quantized payload shards like its kernel
+    q_sharded = ServingModel(model, variables, proc, threshold=0.01,
+                             mesh=mesh, quantize="int8",
+                             quantize_min_size=4096)
+    q_base = ServingModel(model, variables, proc, threshold=0.01,
+                          quantize="int8", quantize_min_size=4096)
+    aq, rq = q_sharded.predict_batch(obs, return_raw_output=True)
+    aqb, rqb = q_base.predict_batch(obs, return_raw_output=True)
+    np.testing.assert_allclose(np.asarray(rq["pick_heatmap"]),
+                               np.asarray(rqb["pick_heatmap"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(aq.pick), np.asarray(aqb.pick))
+
+    # batch-1 (indivisible by dp) still serves on the mesh: the constraint
+    # is skipped per-input, weights stay sharded
+    one = sharded.predict(**obs[0])
+    one_ref = base.predict(**obs[0])
+    np.testing.assert_array_equal(np.asarray(one.pick),
+                                  np.asarray(one_ref.pick))
+
+    # export from a sharded server is an explicit error, not a bad artifact
+    with pytest.raises(NotImplementedError, match="mesh-sharded"):
+        sharded.export("/tmp/should_not_exist.bifold", **obs[0])
