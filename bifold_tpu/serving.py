@@ -16,6 +16,8 @@ a numpy-backed Action plus optional raw heatmaps.
 
 from __future__ import annotations
 
+import functools
+import re
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -77,36 +79,60 @@ def _pack_observation(batched, depth_f16: bool):
 
 _QUANT_TAG = "__int8_q__"
 
+# gather/add-consumed tables: vocab token embeddings, positional embeddings,
+# learned modality tokens. Matched per path SEGMENT at word boundaries so
+# e.g. "convtranspose_0" ("pos" inside "transpose") stays quantized.
+_QUANT_EXCLUDE = re.compile(r"(^|_)(pos|position|token)s?($|_)")
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _quantize_leaf(x, reduce_axes):
+    """int8 payload + f32 scale for one weight leaf, computed ON DEVICE (an
+    on-device param tree never round-trips to host — quantizing a live
+    trainer's params for the eval ServingPolicy would otherwise pull the
+    full tree over the interconnect every eval epoch)."""
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=reduce_axes, keepdims=True)
+    scale = absmax / 127.0
+    q = jnp.clip(jnp.round(xf / jnp.maximum(scale, 1e-30)),
+                 -127, 127).astype(jnp.int8)
+    return q, scale
+
 
 def quantize_weights(tree, min_size: int = 2 ** 16):
     """Symmetric per-output-channel int8 weight-only quantization of large
     MATMUL-weight leaves. Excluded: small leaves (LayerNorm scales, biases
     — exactness is cheap), and gather/add-consumed tables (vocab token
-    embeddings, positional embeddings, learned modality tokens — matched by
-    "token"/"pos" in the param path): those are never a matmul operand, so
-    int8 saves no MXU-read bandwidth, and the in-program dequantize would
-    materialize the FULL vocab table per call where the float original only
-    pays a tiny per-token gather. patch_embedding (a conv matmul) stays
-    quantized. The dequantize runs INSIDE the serve program, where XLA
-    fuses the int8 -> compute-dtype convert into the consuming matmul's
-    operand read — so quantized leaves cut weight HBM reads and the export
-    artifact's bytes roughly 4x for the covered bulk.
+    embeddings, positional embeddings, learned modality tokens —
+    ``_QUANT_EXCLUDE`` over the param path): those are never a matmul
+    operand, so int8 saves no MXU-read bandwidth, and the in-program
+    dequantize would materialize the FULL vocab table per call where the
+    float original only pays a tiny per-token gather. patch_embedding (a
+    conv matmul) stays quantized.
+
+    Scale granularity: per output channel (last axis), and additionally per
+    leading axis for ndim >= 3 — the nn.scan transformer stacks store
+    kernels as (depth, in, out), and one scale shared across the whole
+    stack would quantize a quiet layer into a few effective levels of the
+    loudest layer's range.
+
+    The dequantize runs INSIDE the serve program, where XLA fuses the
+    int8 -> compute-dtype convert into the consuming matmul's operand read
+    — so quantized leaves cut weight HBM reads and artifact bytes ~4x vs
+    f32 masters (~2x vs the default bf16-precast serve path).
     Each quantized leaf becomes a {_QUANT_TAG: int8, "scale": f32} subtree
     that :func:`dequantize_weights` restores."""
     def q(path, x):
-        names = "/".join(str(getattr(k, "key", k)) for k in path).lower()
-        if ("token" in names or "pos" in names
+        segs = [str(getattr(k, "key", k)).lower() for k in path]
+        if (any(_QUANT_EXCLUDE.search(s) for s in segs)
                 or not (hasattr(x, "ndim") and x.ndim >= 2
                         and x.size >= min_size
                         and x.dtype in (jnp.float32, jnp.bfloat16))):
             return x
-        xf = np.asarray(x, dtype=np.float32)
-        absmax = np.max(np.abs(xf), axis=tuple(range(xf.ndim - 1)),
-                        keepdims=True)
-        scale = (absmax / 127.0).astype(np.float32)
-        qv = np.clip(np.round(xf / np.maximum(scale, 1e-30)),
-                     -127, 127).astype(np.int8)
-        return {_QUANT_TAG: jnp.asarray(qv), "scale": jnp.asarray(scale)}
+        reduce_axes = ((0,) if x.ndim == 2
+                       else tuple(range(1, x.ndim - 1)))
+        qv, scale = _quantize_leaf(jnp.asarray(x), reduce_axes)
+        return {_QUANT_TAG: qv, "scale": scale}
     return jax.tree_util.tree_map_with_path(q, tree)
 
 
@@ -450,7 +476,9 @@ class ServingModel:
             raise NotImplementedError(
                 "export of a mesh-sharded server would pin the artifact to "
                 "this device count/topology; export from an unsharded "
-                "ServingModel (mesh=None) and shard at load time instead")
+                "ServingModel (mesh=None) — the artifact serves unsharded — "
+                "and construct a live ServingModel(mesh=...) when you need "
+                "multi-chip serving")
         from jax import export as jax_export
 
         raw = self.processor.make_raw(rgb=rgb, depth=depth, mask=mask,

@@ -288,6 +288,14 @@ def test_serving_policy_closed_loop(trained, tmp_path):
         trainer.model,
         {"params": trainer.params, **(trainer.extra_vars or {})},
         trainer.processor, depth_wire_dtype="float16"))
+    # the sequential leg runs the int8-quantized server (the
+    # serving_quantize=int8 eval configuration) — same protocol, dequant
+    # inside the serve program; the parallel leg keeps the default f32
+    q_policy = ServingPolicy(ServingModel(
+        trainer.model,
+        {"params": trainer.params, **(trainer.extra_vars or {})},
+        trainer.processor, depth_wire_dtype="float16",
+        quantize="int8", quantize_min_size=4096))
 
     def cheap(ev, pool=None):
         for env in getattr(ev, "envs", [ev.env]):
@@ -302,7 +310,7 @@ def test_serving_policy_closed_loop(trained, tmp_path):
         ev.K = ev.env.intrinsic_from_fov(64, 64)
         ev.error_threshold = ev.env.particle_radius * 2
 
-    seq = SoftgymSingleEvaluator(cache_dir=str(tmp_path), policy=policy,
+    seq = SoftgymSingleEvaluator(cache_dir=str(tmp_path), policy=q_policy,
                                  processor=trainer.processor, image_size=64)
     cheap(seq)
     seq.evaluate(num_evals=1, task="CornerFold", seed=0)
@@ -617,20 +625,37 @@ def test_quantize_weights_roundtrip_bound():
     w = np.asarray(rng.standard_normal((512, 256)) * 3.0, np.float32)
     small = np.asarray(rng.standard_normal((16,)), np.float32)
     emb = np.asarray(rng.standard_normal((64, 64)), np.float32)
+    # nn.scan stacked kernels: per-layer magnitudes differing 100x — a
+    # whole-stack scale would quantize the quiet layer into ~1 level
+    stacked = np.asarray(rng.standard_normal((4, 32, 64)), np.float32)
+    stacked *= np.asarray([0.01, 0.1, 1.0, 1.0])[:, None, None]
     tree = {"dense": {"kernel": jnp.asarray(w)}, "ln": {"scale": jnp.asarray(small)},
             "token_embedding": {"embedding": jnp.asarray(emb)},
-            "pos_embedding": jnp.asarray(emb)}
+            "pos_embedding": jnp.asarray(emb),
+            "blocks": {"block": {"kernel": jnp.asarray(stacked)}},
+            "convtranspose_0": {"kernel": jnp.asarray(
+                rng.standard_normal((8, 8, 4, 16)).astype(np.float32))}}
     qt = quantize_weights(tree, min_size=1024)
     assert qt["dense"]["kernel"]["__int8_q__"].dtype == jnp.int8
     assert qt["ln"]["scale"].shape == (16,)  # untouched
     # gather/add-consumed tables stay float (never a matmul operand; the
-    # in-program dequant would materialize the whole table per call)
+    # in-program dequant would materialize the whole table per call)...
     assert qt["token_embedding"]["embedding"].dtype == jnp.float32
     assert qt["pos_embedding"].dtype == jnp.float32
+    # ...but the exclusion is per path segment at word boundaries: the
+    # "pos" inside "convtranspose" must NOT exclude a real matmul kernel
+    assert qt["convtranspose_0"]["kernel"]["__int8_q__"].dtype == jnp.int8
+    # stacked kernels carry per-(layer, out-channel) scales
+    assert qt["blocks"]["block"]["kernel"]["scale"].shape == (4, 1, 64)
     back = dequantize_weights(qt, jnp.float32)
     step = np.abs(w).max(axis=0, keepdims=True) / 127.0
     assert np.all(np.abs(np.asarray(back["dense"]["kernel"]) - w)
                   <= step / 2 + 1e-6)
+    # the quiet layers keep their OWN quantization step (the bound below is
+    # 100x tighter than a whole-stack scale could ever satisfy)
+    step_l = np.abs(stacked).max(axis=1, keepdims=True) / 127.0
+    assert np.all(np.abs(np.asarray(back["blocks"]["block"]["kernel"])
+                         - stacked) <= step_l / 2 + 1e-7)
     np.testing.assert_array_equal(np.asarray(back["ln"]["scale"]), small)
 
 
@@ -692,3 +717,84 @@ def test_serving_int8_quantized(trained, tmp_path):
                                rtol=2e-2, atol=2e-3)
     np.testing.assert_array_equal(np.asarray(a_live.pick),
                                   np.asarray(a_exp.pick))
+
+
+def test_serve_daemon_http(trained):
+    """The deployment daemon (bifold_tpu.serve): build_server resolves a
+    run dir (best falls back to last), and the HTTP surface round-trips
+    npz observations — healthz, single, batched, raw heatmaps, and a
+    malformed payload as a 400, all matching the in-process server."""
+    import http.client
+    import io
+    import json
+    import threading
+
+    from bifold_tpu.serve import build_server, make_httpd
+
+    _, cfg, trainer, _ = trained
+    server = build_server(run_dir=trainer.run_dir, which="best")
+    httpd = make_httpd(server)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+
+    def post(path, body):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request("POST", path, body=body)
+        r = conn.getresponse()
+        data = r.read()
+        conn.close()
+        return r.status, data
+
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request("GET", "/healthz")
+        r = conn.getresponse()
+        info = json.loads(r.read())
+        conn.close()
+        assert info["status"] == "ok" and "pick" in info["fields"]
+        assert info["exported"] is False
+
+        rng = np.random.default_rng(3)
+        rgb = rng.integers(0, 255, (96, 96, 3), dtype=np.uint8)
+        depth = rng.random((96, 96)).astype(np.float32)
+        mask = np.ones((96, 96), np.float32)
+        instr = "fold the towel in half"
+
+        buf = io.BytesIO()
+        np.savez(buf, rgb=rgb, depth=depth, mask=mask,
+                 instruction=np.asarray(instr))
+        status, data = post("/predict?raw=1", buf.getvalue())
+        assert status == 200, data
+        out = dict(np.load(io.BytesIO(data)))
+        direct, raw = server.predict(rgb=rgb, depth=depth, mask=mask,
+                                     instruction=instr,
+                                     return_raw_output=True)
+        np.testing.assert_array_equal(out["pick"],
+                                      np.asarray(direct.pick, np.float32))
+        np.testing.assert_array_equal(out["place"],
+                                      np.asarray(direct.place, np.float32))
+        np.testing.assert_allclose(out["raw_pick_heatmap"],
+                                   np.asarray(raw["pick_heatmap"]),
+                                   rtol=1e-5, atol=1e-6)
+
+        # batched: stacked arrays + one instruction per row
+        buf = io.BytesIO()
+        np.savez(buf, rgb=np.stack([rgb, rgb[::-1]]),
+                 depth=np.stack([depth, depth]),
+                 mask=np.stack([mask, mask]),
+                 instruction=np.asarray([instr, "fold the left sleeve"]))
+        status, data = post("/predict", buf.getvalue())
+        assert status == 200, data
+        out2 = dict(np.load(io.BytesIO(data)))
+        assert out2["pick"].shape == (2, 2)
+        np.testing.assert_array_equal(out2["pick"][0], out["pick"][0])
+
+        # malformed payload -> 400 with a JSON error, not a dead socket
+        status, data = post("/predict", b"not an npz")
+        assert status == 400 and b"error" in data
+        status, data = post("/nope", buf.getvalue())
+        assert status == 404
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
