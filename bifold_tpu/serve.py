@@ -1,0 +1,223 @@
+"""Deployment serving daemon: ``python -m bifold_tpu.serve``.
+
+The reference has no serving story — its research code runs evaluators
+in-process (cf. /root/reference/bifold/__main__.py eval dispatch). This is
+the TPU-native deployment front-end over :mod:`bifold_tpu.serving`: load a
+trained checkpoint (or a ``jax.export`` artifact — no model code needed at
+the serving host) once, pre-compile, then answer observations over HTTP for
+a robot control loop.
+
+    python -m bifold_tpu.serve --run-dir outputs/vr_folding/default
+    python -m bifold_tpu.serve --artifact exported/serve.bifold --port 8787
+
+Protocol (stdlib + numpy only, no web framework):
+
+- ``GET /healthz`` — JSON liveness + model/threshold/quantize info.
+- ``POST /predict`` — body is one ``.npz`` payload: ``rgb`` uint8 (H, W, 3),
+  ``depth`` float (H, W), ``mask`` (H, W), ``instruction`` (a string array),
+  optionally stacked context frames ``ctx_rgb`` (T, H, W, 3) / ``ctx_depth``
+  / ``ctx_mask``. A leading batch dim on every array (and one instruction
+  per row) serves the pooled batched program instead. Response is an
+  ``.npz`` with one (B, 2) float array per action field (``pick``/``place``
+  or the four bimanual fields); ``?raw=1`` adds the raw model outputs
+  (heatmaps). Arrays travel as ONE npz payload each way — the same
+  one-upload discipline as the packed device wire underneath.
+
+Concurrency: requests are served from a thread pool but predictions are
+serialized under a lock — the device program is the bottleneck, and batch
+pooling (send stacked observations) is the supported way to raise
+throughput, matching the lockstep evaluators.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["build_server", "make_httpd", "main"]
+
+
+def build_server(run_dir=None, checkpoint=None, config=None, artifact=None,
+                 which: str = "best", depth_wire: str = "float16",
+                 quantize=None, threshold=None):
+    """Resolve CLI-ish inputs into a ServingModel / ExportedServingModel.
+
+    ``run_dir``: a training output dir — uses its ``config.yaml`` snapshot
+    and ``checkpoints/{best|last}.ckpt`` (``which``; best falls back to
+    last, mirroring the trainer's eval loading). ``checkpoint`` + ``config``
+    name the files explicitly. ``artifact`` loads a jax.export artifact.
+    """
+    from bifold_tpu.serving import ServingModel
+
+    if artifact is not None:
+        return ServingModel.load_exported(artifact)
+    if run_dir is not None:
+        run_dir = Path(run_dir)
+        config = config or run_dir / "config.yaml"
+        ckpts = run_dir / "checkpoints"
+        checkpoint = checkpoint or (
+            ckpts / f"{which}.ckpt" if (ckpts / f"{which}.ckpt").exists()
+            else ckpts / "last.ckpt")
+    if checkpoint is None or config is None:
+        raise ValueError("need --artifact, --run-dir, or both --checkpoint "
+                         "and --config")
+    from bifold_tpu.config import load_yaml
+    cfg = load_yaml(config) if not isinstance(config, dict) else config
+    return ServingModel.from_checkpoint(
+        str(checkpoint), cfg, threshold=threshold,
+        depth_wire_dtype=depth_wire, quantize=quantize)
+
+
+def _parse_observations(body: bytes):
+    """One npz payload -> list of predict() kwarg dicts (len 1 for an
+    unbatched observation)."""
+    with np.load(io.BytesIO(body), allow_pickle=False) as z:
+        arrays = {k: z[k] for k in z.files}
+    if "rgb" not in arrays or "instruction" not in arrays:
+        raise ValueError("payload must contain at least rgb and instruction")
+    instr = np.atleast_1d(arrays["instruction"].astype(str))
+    batched = arrays["rgb"].ndim == 4
+    n = arrays["rgb"].shape[0] if batched else 1
+    if len(instr) != n:
+        raise ValueError(f"{n} observation row(s) but {len(instr)} "
+                         "instruction(s)")
+
+    def row(name, i):
+        a = arrays.get(name)
+        if a is None:
+            return None
+        return a[i] if batched else a
+
+    obs = []
+    for i in range(n):
+        context = None
+        ctx_rgb = row("ctx_rgb", i)
+        if ctx_rgb is not None:
+            ctx_depth, ctx_mask = row("ctx_depth", i), row("ctx_mask", i)
+            context = [dict(rgb=ctx_rgb[t],
+                            depth=None if ctx_depth is None else ctx_depth[t],
+                            mask=None if ctx_mask is None else ctx_mask[t])
+                       for t in range(ctx_rgb.shape[0])]
+        obs.append(dict(rgb=row("rgb", i), depth=row("depth", i),
+                        mask=row("mask", i), instruction=str(instr[i]),
+                        context=context))
+    return obs
+
+
+def _npz_bytes(tree: dict) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **tree)
+    return buf.getvalue()
+
+
+def make_httpd(server, host: str = "127.0.0.1", port: int = 0):
+    """Wrap a serving model in a ThreadingHTTPServer (port 0 = ephemeral;
+    the bound port is ``httpd.server_address[1]``)."""
+    lock = threading.Lock()
+    fields = tuple(getattr(server, "fields", None) or server._action_fields())
+    info = {
+        "status": "ok",
+        "fields": list(fields),
+        "threshold": float(getattr(server, "threshold", float("nan")))
+        if getattr(server, "threshold", None) is not None else None,
+        "quantize": getattr(server, "quantize", None),
+        "exported": not hasattr(server, "model"),
+    }
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, code: int, obj):
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            if self.path.split("?")[0] == "/healthz":
+                self._send_json(200, info)
+            else:
+                self._send_json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            path, _, query = self.path.partition("?")
+            if path != "/predict":
+                self._send_json(404, {"error": f"no route {path}"})
+                return
+            want_raw = "raw=1" in query
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                obs = _parse_observations(self.rfile.read(length))
+                with lock:
+                    result = server.predict_batch(obs,
+                                                  return_raw_output=want_raw)
+                action, raw = result if want_raw else (result, None)
+                out = {f: np.asarray(getattr(action, f), np.float32)
+                       for f in fields}
+                if want_raw:
+                    # numeric leaves only (e.g. attn_weights is None for
+                    # non-cross-attention fusions — not npz-serializable)
+                    out.update({f"raw_{k}": np.asarray(v)
+                                for k, v in raw.items()
+                                if v is not None
+                                and np.asarray(v).dtype != object})
+                self._send(200, _npz_bytes(out), "application/x-npz")
+            except Exception as e:  # surface the failure to the client
+                self._send_json(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="python -m bifold_tpu.serve",
+        description="HTTP serving daemon over bifold_tpu.serving")
+    p.add_argument("--run-dir", help="training output dir "
+                   "(config.yaml + checkpoints/)")
+    p.add_argument("--checkpoint", help="explicit .ckpt path")
+    p.add_argument("--config", help="explicit config.yaml path")
+    p.add_argument("--artifact", help="jax.export serving artifact")
+    p.add_argument("--which", default="best", choices=("best", "last"))
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8787)
+    p.add_argument("--depth-wire", default="float16",
+                   choices=("float32", "float16"))
+    p.add_argument("--quantize", default=None, choices=(None, "int8"))
+    p.add_argument("--threshold", type=float, default=None)
+    p.add_argument("--warmup", type=int, default=None, metavar="SIZE",
+                   help="pre-compile for SIZE x SIZE inputs before listening")
+    a = p.parse_args(argv)
+
+    server = build_server(run_dir=a.run_dir, checkpoint=a.checkpoint,
+                          config=a.config, artifact=a.artifact, which=a.which,
+                          depth_wire=a.depth_wire, quantize=a.quantize,
+                          threshold=a.threshold)
+    if a.warmup and hasattr(server, "warmup"):
+        print(f"[serve] warming up at {a.warmup}x{a.warmup} ...", flush=True)
+        server.warmup(a.warmup)
+    httpd = make_httpd(server, a.host, a.port)
+    host, port = httpd.server_address[:2]
+    print(f"[serve] listening on http://{host}:{port} "
+          f"(POST /predict, GET /healthz)", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
