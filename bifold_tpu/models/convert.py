@@ -32,7 +32,8 @@ from typing import Any, Dict, Tuple
 import numpy as np
 
 __all__ = ["convert_siglip", "convert_clip", "convert_bifold",
-           "convert_text_unet", "load_state_dict", "graft"]
+           "convert_bifold_inverse", "convert_text_unet", "load_state_dict",
+           "graft"]
 
 
 def _np(t) -> np.ndarray:
@@ -460,6 +461,142 @@ def convert_bifold(sd: Dict, *, scan_layers: bool = True) -> Dict:
     return out
 
 
+def _unstack_blocks(enc: Dict) -> list:
+    """Inverse of :func:`_stack_blocks`: encoder subtree -> per-layer dicts."""
+    import jax
+
+    if "blocks" in enc:
+        stacked = enc["blocks"]["block"]
+        leaves, treedef = jax.tree_util.tree_flatten(stacked)
+        depth = int(np.shape(leaves[0])[0])
+        return [jax.tree_util.tree_unflatten(
+            treedef, [np.asarray(l)[i] for l in leaves])
+            for i in range(depth)]
+    keys = sorted((k for k in enc if k.startswith("block_")),
+                  key=lambda s: int(s.split("_")[1]))
+    return [enc[k] for k in keys]
+
+
+def _inv_linear(out: Dict, prefix: str, dense: Dict) -> None:
+    out[prefix + ".weight"] = np.asarray(dense["kernel"]).T
+    if "bias" in dense:
+        out[prefix + ".bias"] = np.asarray(dense["bias"])
+
+
+def _inv_ln(out: Dict, prefix: str, ln: Dict) -> None:
+    out[prefix + ".weight"] = np.asarray(ln["scale"])
+    out[prefix + ".bias"] = np.asarray(ln["bias"])
+
+
+def convert_bifold_inverse(params: Dict, *,
+                           adapter: str = "siglip_adapter") -> Dict:
+    """Our SigLip / SiglipSequential params tree -> the reference model's
+    torch state-dict naming (the inverse of :func:`convert_bifold` for the
+    flagship family) — so a model trained HERE deploys back into the
+    reference's own tooling (`model.load_state_dict`, its evaluators, its
+    published-checkpoint format).
+
+    Emits every key the reference *forward* consumes: the SigLIP towers
+    (peft naming — ``base_layer`` / ``lora_A.<adapter>`` — when the params
+    carry LoRA wraps; the reference's adapter is named "siglip_adapter",
+    siglip.py:40), modality tokens, context position embeddings, the fusion
+    transformer (transformer.py layer = [PreNorm(Attention),
+    PreNorm(FeedForward)]), and the ConvDecoder heads at Sequential slots
+    0,2,4,6,8. NOT emitted (absent from our tree because the bifold forward
+    never reads them): the HF pooling heads, ``logit_scale``/``logit_bias``,
+    and ``position_ids`` buffers — load with ``strict=False`` and check the
+    missing set (tests/test_reference_parity.py round-trips this bitwise).
+    """
+    params = dict(params)
+    if "clip_encoder" in params or "unet" in params:
+        raise NotImplementedError(
+            "inverse conversion covers the siglip/siglip_sequential family; "
+            "rgb_clip/text_unet checkpoints convert forward only")
+    out: Dict[str, Any] = {}
+
+    sig = params.get("siglip_model")
+    if sig is not None:
+        lora = any("base" in blk["attn"][p]
+                   for blk in _unstack_blocks(sig["vision_model"]["encoder"])
+                   for p in ("q_proj", "v_proj"))
+        root = "siglip_model.model." if lora else "siglip_model."
+
+        vm = sig["vision_model"]
+        pk = np.asarray(vm["patch_embedding"]["kernel"])  # (H, W, in, out)
+        out[root + "vision_model.embeddings.patch_embedding.weight"] = \
+            pk.transpose(3, 2, 0, 1)
+        out[root + "vision_model.embeddings.patch_embedding.bias"] = \
+            np.asarray(vm["patch_embedding"]["bias"])
+        out[root + "vision_model.embeddings.position_embedding.weight"] = \
+            np.asarray(vm["position_embedding"])
+        _inv_ln(out, root + "vision_model.post_layernorm",
+                vm["post_layernorm"])
+
+        tm = sig["text_model"]
+        out[root + "text_model.embeddings.token_embedding.weight"] = \
+            np.asarray(tm["token_embedding"]["embedding"])
+        out[root + "text_model.embeddings.position_embedding.weight"] = \
+            np.asarray(tm["position_embedding"])
+        _inv_ln(out, root + "text_model.final_layer_norm",
+                tm["final_layer_norm"])
+
+        for tower, src in (("vision_model", vm), ("text_model", tm)):
+            for i, blk in enumerate(_unstack_blocks(src["encoder"])):
+                p = f"{root}{tower}.encoder.layers.{i}"
+                _inv_ln(out, f"{p}.layer_norm1", blk["norm1"])
+                _inv_ln(out, f"{p}.layer_norm2", blk["norm2"])
+                for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                    d = blk["attn"][proj]
+                    kp = f"{p}.self_attn.{proj}"
+                    if "base" in d:       # LoRADense layout (peft semantics)
+                        _inv_linear(out, kp + ".base_layer", d["base"])
+                        out[f"{kp}.lora_A.{adapter}.weight"] = \
+                            np.asarray(d["lora_a"]).T
+                        out[f"{kp}.lora_B.{adapter}.weight"] = \
+                            np.asarray(d["lora_b"]).T
+                    else:
+                        _inv_linear(out, kp, d)
+                _inv_linear(out, f"{p}.mlp.fc1", blk["mlp"]["fc1"])
+                _inv_linear(out, f"{p}.mlp.fc2", blk["mlp"]["fc2"])
+
+    for name in ("text_token", "image_token", "context_pos_embedding",
+                 "rgb_pos_embedding", "text_pos_embedding"):
+        if name in params:
+            out[name] = np.asarray(params[name])
+    if "project" in params:
+        _inv_linear(out, "project", params["project"])
+
+    pp = params.get("pick_place") or {}
+    if "fusion" in pp:
+        fusion = pp["fusion"]
+        out["pick_place.fusion.token_type_embeddings.weight"] = \
+            np.asarray(fusion["token_type_embeddings"]["embedding"])
+        if "registers" in fusion:
+            out["pick_place.fusion.registers"] = \
+                np.asarray(fusion["registers"])
+        for i, blk in enumerate(_unstack_blocks(fusion["transformer_encoder"])):
+            p = f"pick_place.fusion.transformer_encoder.layers.{i}"
+            _inv_ln(out, f"{p}.0.norm", blk["norm1"])
+            out[f"{p}.0.fn.to_qkv.weight"] = \
+                np.asarray(blk["attn"]["to_qkv"]["kernel"]).T
+            _inv_linear(out, f"{p}.0.fn.to_out.0", blk["attn"]["out_proj"])
+            _inv_ln(out, f"{p}.1.norm", blk["norm2"])
+            _inv_linear(out, f"{p}.1.fn.net.0", blk["mlp"]["fc1"])
+            _inv_linear(out, f"{p}.1.fn.net.3", blk["mlp"]["fc2"])
+    for head in ("pick_decoder", "place_decoder", "left_pick_decoder",
+                 "right_pick_decoder", "left_place_decoder",
+                 "right_place_decoder", "mask_head"):
+        if head not in pp:
+            continue
+        for j, slot in enumerate((0, 2, 4, 6, 8)):
+            conv = pp[head][f"conv{j}"]
+            out[f"pick_place.{head}.decoder_net.{slot}.weight"] = \
+                np.asarray(conv["kernel"]).T[:, :, None, None]
+            out[f"pick_place.{head}.decoder_net.{slot}.bias"] = \
+                np.asarray(conv["bias"])
+    return out
+
+
 def load_state_dict(path: str | Path) -> Dict:
     """Load a torch checkpoint: .safetensors, .bin/.pt (pickle), or a HF
     model directory."""
@@ -525,8 +662,26 @@ def main() -> None:
                          "{'params': ..., 'batch_stats': ...}")
     ap.add_argument("--layers", type=int, default=12)
     ap.add_argument("--lora", action="store_true")
+    ap.add_argument("--inverse", action="store_true",
+                    help="convert the OTHER way: a bifold-tpu .ckpt -> a "
+                         "reference-format torch .pth (siglip family), so "
+                         "models trained here deploy into the reference's "
+                         "own tooling")
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
+    if args.inverse:
+        import torch  # noqa: WPS433
+
+        from bifold_tpu.utils.checkpoint import load_checkpoint
+        payload = load_checkpoint(args.checkpoint, restore_rng=False)
+        sd = convert_bifold_inverse(payload["params"])
+        torch.save(
+            {"model": {k: torch.tensor(np.ascontiguousarray(v))
+                       for k, v in sd.items()},
+             "epoch": int(payload.get("epoch", 0))}, args.out)
+        print(f"[convert] wrote reference-format {args.out} "
+              f"({len(sd)} tensors)")
+        return
     sd = load_state_dict(args.checkpoint)
     if args.arch == "siglip":
         converted = convert_siglip(sd, layers=args.layers, lora=args.lora)

@@ -549,3 +549,50 @@ def test_convert_cli_ingests_trainer_checkpoint(hf_dir, tmp_path, monkeypatch):
         err = np.abs(np.asarray(out[f"{h}_heatmap"])
                      - ref_out[f"{h}_heatmap"].numpy()).max()
         assert err < 1e-4, f"{h}_heatmap max err {err}"
+
+
+@pytest.mark.parametrize("sequential,bimanual,lora", [
+    (False, False, False),
+    (True, True, True),
+])
+def test_inverse_conversion_roundtrip(hf_dir, sequential, bimanual, lora):
+    """convert_bifold_inverse deploys our params BACK into the reference's
+    torch tooling: ref -> convert_bifold -> convert_bifold_inverse loads
+    into a DIFFERENTLY-initialized reference model bitwise, the only keys
+    left untouched are the ones the bifold forward never reads (HF pooling
+    heads, logit scale/bias, position_ids buffers), and the reloaded model
+    reproduces the original's heatmaps exactly."""
+    from bifold_tpu.models.convert import convert_bifold, convert_bifold_inverse
+
+    ref = _reference_model(hf_dir, sequential=sequential, bimanual=bimanual,
+                           lora=lora)
+    params = convert_bifold(ref.state_dict())
+    inv = convert_bifold_inverse(params)
+
+    torch.manual_seed(99)  # a genuinely different init to overwrite
+    ref2 = _reference_model(hf_dir, sequential=sequential, bimanual=bimanual,
+                            lora=lora)
+    missing, unexpected = ref2.load_state_dict(
+        {k: torch.tensor(np.ascontiguousarray(v)) for k, v in inv.items()},
+        strict=False)
+    assert not unexpected, f"inverse emitted unknown keys: {unexpected[:5]}"
+    allowed = ("position_ids", "logit_scale", "logit_bias", ".head.",
+               "head.probe", "head.attention", "head.layernorm", "head.mlp")
+    bad = [m for m in missing if not any(a in m for a in allowed)]
+    assert not bad, f"forward-relevant keys not emitted: {bad[:8]}"
+
+    # every emitted key landed bitwise
+    sd1 = ref.state_dict()
+    for k, v in inv.items():
+        np.testing.assert_array_equal(
+            np.asarray(v), sd1[k].numpy(), err_msg=k)
+
+    # and the reloaded reference reproduces the original forward exactly
+    sample = _torchify(_sample(bimanual, sequential))
+    with torch.no_grad():
+        o1, o2 = ref(sample), ref2(sample)
+    heads = (["left_pick", "right_pick", "left_place", "right_place"]
+             if bimanual else ["pick", "place"])
+    for h in heads:
+        np.testing.assert_array_equal(o2[f"{h}_heatmap"].numpy(),
+                                      o1[f"{h}_heatmap"].numpy())
