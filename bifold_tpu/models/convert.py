@@ -32,8 +32,8 @@ from typing import Any, Dict, Tuple
 import numpy as np
 
 __all__ = ["convert_siglip", "convert_clip", "convert_bifold",
-           "convert_bifold_inverse", "convert_text_unet", "load_state_dict",
-           "graft"]
+           "convert_bifold_inverse", "convert_text_unet",
+           "convert_text_unet_inverse", "load_state_dict", "graft"]
 
 
 def _np(t) -> np.ndarray:
@@ -488,13 +488,59 @@ def _inv_ln(out: Dict, prefix: str, ln: Dict) -> None:
     out[prefix + ".bias"] = np.asarray(ln["bias"])
 
 
+def _inv_clip_blocks(out: Dict, prefix: str, enc: Dict) -> None:
+    """Inverse of the OpenAI-naming block converter: q/k/v re-concatenate
+    into MultiheadAttention's fused in_proj."""
+    for i, blk in enumerate(_unstack_blocks(enc)):
+        p = f"{prefix}.resblocks.{i}"
+        _inv_ln(out, f"{p}.ln_1", blk["norm1"])
+        _inv_ln(out, f"{p}.ln_2", blk["norm2"])
+        a = blk["attn"]
+        out[f"{p}.attn.in_proj_weight"] = np.concatenate(
+            [np.asarray(a[pr]["kernel"]).T
+             for pr in ("q_proj", "k_proj", "v_proj")], axis=0)
+        out[f"{p}.attn.in_proj_bias"] = np.concatenate(
+            [np.asarray(a[pr]["bias"])
+             for pr in ("q_proj", "k_proj", "v_proj")], axis=0)
+        _inv_linear(out, f"{p}.attn.out_proj", a["out_proj"])
+        _inv_linear(out, f"{p}.mlp.c_fc", blk["mlp"]["fc1"])
+        _inv_linear(out, f"{p}.mlp.c_proj", blk["mlp"]["fc2"])
+
+
+def _inv_clip_text(out: Dict, root: str, txt: Dict) -> None:
+    out[root + "token_embedding.weight"] = \
+        np.asarray(txt["token_embedding"]["embedding"])
+    out[root + "positional_embedding"] = \
+        np.asarray(txt["positional_embedding"])
+    _inv_ln(out, root + "ln_final", txt["ln_final"])
+    if "text_projection" in txt:
+        out[root + "text_projection"] = np.asarray(txt["text_projection"])
+    _inv_clip_blocks(out, root + "transformer", txt["transformer"])
+
+
+def _inv_clip_openai(out: Dict, root: str, tree: Dict) -> None:
+    """``clip_encoder`` subtree -> the vendored fork's OpenAI naming
+    (inverse of :func:`_convert_clip_openai`)."""
+    vis = tree["visual"]
+    out[root + "visual.conv1.weight"] = \
+        np.asarray(vis["conv1"]["kernel"]).transpose(3, 2, 0, 1)
+    out[root + "visual.class_embedding"] = np.asarray(vis["class_embedding"])
+    out[root + "visual.positional_embedding"] = \
+        np.asarray(vis["positional_embedding"])
+    _inv_ln(out, root + "visual.ln_pre", vis["ln_pre"])
+    _inv_ln(out, root + "visual.ln_post", vis["ln_post"])
+    _inv_clip_blocks(out, root + "visual.transformer", vis["transformer"])
+    _inv_clip_text(out, root, tree["text"])
+
+
 def convert_bifold_inverse(params: Dict, *,
                            adapter: str = "siglip_adapter") -> Dict:
-    """Our SigLip / SiglipSequential params tree -> the reference model's
-    torch state-dict naming (the inverse of :func:`convert_bifold` for the
-    flagship family) — so a model trained HERE deploys back into the
-    reference's own tooling (`model.load_state_dict`, its evaluators, its
-    published-checkpoint format).
+    """Our SigLip / SiglipSequential / RGBOnly params tree -> the reference
+    model's torch state-dict naming (the inverse of :func:`convert_bifold`)
+    — so a model trained HERE deploys back into the reference's own tooling
+    (`model.load_state_dict`, its evaluators, its published-checkpoint
+    format). TextConditionedUNet has its own inverse
+    (:func:`convert_text_unet_inverse` — it also carries BatchNorm stats).
 
     Emits every key the reference *forward* consumes: the SigLIP towers
     (peft naming — ``base_layer`` / ``lora_A.<adapter>`` — when the params
@@ -508,11 +554,13 @@ def convert_bifold_inverse(params: Dict, *,
     missing set (tests/test_reference_parity.py round-trips this bitwise).
     """
     params = dict(params)
-    if "clip_encoder" in params or "unet" in params:
+    if any(k.startswith("enc0_") for k in params):
         raise NotImplementedError(
-            "inverse conversion covers the siglip/siglip_sequential family; "
-            "rgb_clip/text_unet checkpoints convert forward only")
+            "TextConditionedUNet params carry BatchNorm statistics; use "
+            "convert_text_unet_inverse(params, batch_stats)")
     out: Dict[str, Any] = {}
+    if "clip_encoder" in params:   # rgb_clip family (RGBOnly)
+        _inv_clip_openai(out, "clip_encoder.", params["clip_encoder"])
 
     sig = params.get("siglip_model")
     if sig is not None:
@@ -597,6 +645,64 @@ def convert_bifold_inverse(params: Dict, *,
     return out
 
 
+def convert_text_unet_inverse(params: Dict, batch_stats: Dict) -> Dict:
+    """Our ``text_unet`` (params, batch_stats) -> the reference
+    TextConditionedUNet state-dict naming (inverse of
+    :func:`convert_text_unet`): CLIP-text conditioning tower, double-conv
+    encoder blocks, FiLM decoder blocks (ConvTranspose taps re-flipped to
+    torch's gradient-of-conv layout), BatchNorm running stats, 1x1 heads.
+    ``num_batches_tracked`` buffers are not emitted (our BN carries no
+    step counter; they do not affect eval-mode forward) — load with
+    ``strict=False``."""
+    out: Dict[str, Any] = {}
+    if "clip_encoder" in params:
+        _inv_clip_text(out, "clip_encoder.", params["clip_encoder"]["text"])
+
+    def inv_conv(prefix: str, conv: Dict) -> None:
+        out[prefix + ".weight"] = \
+            np.asarray(conv["kernel"]).transpose(3, 2, 0, 1)
+        if "bias" in conv:
+            out[prefix + ".bias"] = np.asarray(conv["bias"])
+
+    def inv_bn(prefix: str, bn: Dict, stats: Dict) -> None:
+        out[prefix + ".weight"] = np.asarray(bn["scale"])
+        out[prefix + ".bias"] = np.asarray(bn["bias"])
+        out[prefix + ".running_mean"] = np.asarray(stats["mean"])
+        out[prefix + ".running_var"] = np.asarray(stats["var"])
+
+    i = 0
+    while f"enc{i}_conv0" in params:
+        for j, (conv_slot, bn_slot) in enumerate(((0, 1), (3, 4))):
+            inv_conv(f"encoder.{i}.{conv_slot}", params[f"enc{i}_conv{j}"])
+            inv_bn(f"encoder.{i}.{bn_slot}", params[f"enc{i}_bn{j}"],
+                   batch_stats[f"enc{i}_bn{j}"])
+        i += 1
+    i = 0
+    while f"dec{i}" in params:
+        blk, bst = params[f"dec{i}"], batch_stats[f"dec{i}"]
+        p = f"decoder.{i}"
+        k = np.asarray(blk["convt"]["kernel"])[::-1, ::-1]  # unflip taps
+        out[f"{p}.convt.weight"] = \
+            np.ascontiguousarray(k.transpose(2, 3, 0, 1))
+        out[f"{p}.convt.bias"] = np.asarray(blk["convt"]["bias"])
+        inv_conv(f"{p}.conv1", blk["conv1"])
+        inv_bn(f"{p}.bn1", blk["bn1"], bst["bn1"])
+        inv_conv(f"{p}.conv2", blk["conv2"])
+        inv_bn(f"{p}.bn2", blk["bn2"], bst["bn2"])
+        inv_conv(f"{p}.film.conv", blk["film_conv"])
+        _inv_linear(out, f"{p}.film.gamma", blk["film_gamma"])
+        _inv_linear(out, f"{p}.film.beta", blk["film_beta"])
+        i += 1
+    for head in ("pick_decoder", "place_decoder", "left_pick_decoder",
+                 "right_pick_decoder", "left_place_decoder",
+                 "right_place_decoder"):
+        if head in params:
+            out[f"{head}.weight"] = \
+                np.asarray(params[head]["kernel"]).T[:, :, None, None]
+            out[f"{head}.bias"] = np.asarray(params[head]["bias"])
+    return out
+
+
 def load_state_dict(path: str | Path) -> Dict:
     """Load a torch checkpoint: .safetensors, .bin/.pt (pickle), or a HF
     model directory."""
@@ -674,7 +780,12 @@ def main() -> None:
 
         from bifold_tpu.utils.checkpoint import load_checkpoint
         payload = load_checkpoint(args.checkpoint, restore_rng=False)
-        sd = convert_bifold_inverse(payload["params"])
+        params = payload["params"]
+        if any(k.startswith("enc0_") for k in params):  # text_unet + BN
+            sd = convert_text_unet_inverse(
+                params, (payload.get("extra_vars") or {})["batch_stats"])
+        else:
+            sd = convert_bifold_inverse(params)
         torch.save(
             {"model": {k: torch.tensor(np.ascontiguousarray(v))
                        for k, v in sd.items()},

@@ -596,3 +596,130 @@ def test_inverse_conversion_roundtrip(hf_dir, sequential, bimanual, lora):
     for h in heads:
         np.testing.assert_array_equal(o2[f"{h}_heatmap"].numpy(),
                                       o1[f"{h}_heatmap"].numpy())
+
+
+def test_rgb_clip_inverse_conversion_roundtrip(tmp_path, monkeypatch):
+    """Inverse conversion for the rgb_clip family: ref RGBOnly ->
+    convert_bifold -> convert_bifold_inverse loads back into a
+    differently-initialized RGBOnly bitwise and reproduces its forward."""
+    import bifold.models.clip as refclip
+    import bifold.models.rgb_clip as ref_rgb_mod
+    from bifold.models.clip.model import CLIP
+    from bifold.models.rgb_clip import RGBOnly as RefRGBOnly
+
+    from bifold_tpu.models.convert import convert_bifold, convert_bifold_inverse
+
+    img, width, ctx_len, vocab = 32, 64, 77, 512
+    torch.manual_seed(0)
+    tiny_clip = CLIP(64, img, 2, width, 16, ctx_len, vocab, width, 4, 2).float()
+    sd0 = {k: v.clone() for k, v in tiny_clip.state_dict().items()}
+    monkeypatch.setitem(refclip._MODELS, "Tiny-Test", "local://tiny")
+    monkeypatch.setattr(
+        ref_rgb_mod, "load",
+        lambda name, device="cpu", **kw: (refclip.build_model(dict(sd0)).float(), None))
+
+    def make(seed):
+        torch.manual_seed(seed)
+        return RefRGBOnly(
+            patch_size=16, text_dropout=0.0, rgb_dropout=0.0,
+            text_encoder="Tiny-Test",
+            pick_place_model="pick_place_convdecoder",
+            image_size=img, is_bimanual=False, device="cpu",
+            fusion_model="concat_transformer", depth=2, heads=4, mlp_ratio=4,
+            dropout=0.0).eval()
+
+    ref, ref2 = make(1), make(77)
+    inv = convert_bifold_inverse(convert_bifold(ref.state_dict()))
+    missing, unexpected = ref2.load_state_dict(
+        {k: torch.tensor(np.ascontiguousarray(v)) for k, v in inv.items()},
+        strict=False)
+    assert not unexpected, unexpected[:5]
+    # allowed-missing: logit_scale, fused-attention mask buffers, and
+    # visual.proj — forward_with_embeddings (model.py:296-317) returns the
+    # pre-projection token sequence, so RGBOnly never consumes the
+    # embed-space projection
+    bad = [m for m in missing if not any(
+        a in m for a in ("logit_scale", "attn_mask", "visual.proj"))]
+    assert not bad, bad[:8]
+    sd1 = ref.state_dict()
+    for k, v in inv.items():
+        np.testing.assert_array_equal(np.asarray(v), sd1[k].numpy(),
+                                      err_msg=k)
+
+    rng = np.random.default_rng(3)
+    sample = _torchify({
+        "rgb": rng.standard_normal((2, 3, img, img)).astype(np.float32),
+        "instruction": rng.integers(0, vocab, (2, ctx_len)).astype(np.int32),
+        "mask": (rng.random((2, 1, img, img)) > 0.4).astype(np.float32),
+    })
+    with torch.no_grad():
+        o1, o2 = ref(sample), ref2(sample)
+    for h in ("pick", "place"):
+        np.testing.assert_array_equal(o2[f"{h}_heatmap"].numpy(),
+                                      o1[f"{h}_heatmap"].numpy())
+
+
+def test_text_unet_inverse_conversion_roundtrip(tmp_path, monkeypatch):
+    """Inverse conversion for the text_unet family, incl. BatchNorm running
+    stats and the ConvTranspose tap re-flip."""
+    import bifold.models.clip as refclip
+    import bifold.models.text_unet as ref_unet_mod
+    from bifold.models.clip.model import CLIP
+    from bifold.models.text_unet import TextConditionedUNet as RefUNet
+
+    from bifold_tpu.models.convert import (convert_text_unet,
+                                           convert_text_unet_inverse)
+
+    img, width, ctx_len, vocab = 32, 64, 77, 512
+    torch.manual_seed(0)
+    tiny_clip = CLIP(64, img, 2, width, 16, ctx_len, vocab, width, 4, 2).float()
+    sd0 = {k: v.clone() for k, v in tiny_clip.state_dict().items()}
+    monkeypatch.setitem(refclip._MODELS, "Tiny-Test", "local://tiny")
+    monkeypatch.setattr(
+        ref_unet_mod, "load",
+        lambda name, device="cpu", **kw: (refclip.build_model(dict(sd0)).float(), None))
+
+    def make(seed):
+        torch.manual_seed(seed)
+        return RefUNet(text_encoder="Tiny-Test", features=[8, 16, 32],
+                       image_size=img, is_bimanual=True, device="cpu")
+
+    rng = np.random.default_rng(5)
+    ref, ref2 = make(1), make(77)
+    # move ref's BN stats off init so the round-trip carries REAL statistics
+    ref.train()
+    with torch.no_grad():
+        for _ in range(3):
+            ref({"depth": torch.tensor(
+                     rng.standard_normal((2, 1, img, img)).astype(np.float32)),
+                 "instruction": torch.tensor(
+                     rng.integers(0, vocab, (2, ctx_len))).long()})
+    ref.eval()
+
+    params, stats = convert_text_unet(ref.state_dict())
+    inv = convert_text_unet_inverse(params, stats)
+    missing, unexpected = ref2.load_state_dict(
+        {k: torch.tensor(np.ascontiguousarray(v)) for k, v in inv.items()},
+        strict=False)
+    assert not unexpected, unexpected[:5]
+    # allowed-missing: BN step counters, the CLIP visual tower (RN50, never
+    # consumed by this model), logit_scale, fused-attention buffers
+    bad = [m for m in missing if not any(
+        a in m for a in ("num_batches_tracked", "clip_encoder.visual.",
+                         "logit_scale", "attn_mask", "text_projection"))]
+    assert not bad, bad[:8]
+    sd1 = ref.state_dict()
+    for k, v in inv.items():
+        np.testing.assert_array_equal(np.asarray(v), sd1[k].numpy(),
+                                      err_msg=k)
+
+    sample = _torchify({
+        "depth": rng.standard_normal((2, 1, img, img)).astype(np.float32),
+        "instruction": rng.integers(0, vocab, (2, ctx_len)).astype(np.int32),
+    })
+    ref2.eval()  # BN must read the restored running stats, not batch stats
+    with torch.no_grad():
+        o1, o2 = ref(sample), ref2(sample)
+    for h in ("left_pick", "right_pick", "left_place", "right_place"):
+        np.testing.assert_array_equal(o2[f"{h}_heatmap"].numpy(),
+                                      o1[f"{h}_heatmap"].numpy())
