@@ -37,6 +37,7 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
+from typing import List, Optional
 
 import numpy as np
 
@@ -116,14 +117,97 @@ def _npz_bytes(tree: dict) -> bytes:
     return buf.getvalue()
 
 
-def make_httpd(server, host: str = "127.0.0.1", port: int = 0):
+class _DynamicBatcher:
+    """Coalesce concurrent single-observation requests into one padded
+    ``predict_batch`` dispatch: the first request opens a small window
+    (``window_ms``); everything that arrives inside it (up to ``max_batch``)
+    shares one upload + one device program at the fixed pool shape — the
+    same amortization the lockstep evaluators get, but across independent
+    HTTP clients. One compiled program shape ever (pad_to=max_batch)."""
+
+    def __init__(self, server, lock, max_batch: int = 8,
+                 window_ms: float = 2.0):
+        self.server, self.lock = server, lock
+        self.max_batch = int(max_batch)
+        self.window = float(window_ms) / 1e3
+        self._cv = threading.Condition()
+        self._queue: List[dict] = []
+        self._stop = False
+        self.requests = 0   # observability: single requests accepted
+        self.batches = 0    # device dispatches actually issued
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, obs: dict, want_raw: bool):
+        pend = {"obs": obs, "raw": want_raw, "event": threading.Event(),
+                "result": None, "error": None}
+        with self._cv:
+            self._queue.append(pend)
+            self.requests += 1
+            self._cv.notify()
+        pend["event"].wait()
+        if pend["error"] is not None:
+            raise pend["error"]
+        return pend["result"]
+
+    def close(self):
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._worker.join(timeout=5)
+
+    def _run(self):
+        import time
+        while True:
+            with self._cv:
+                while not self._queue and not self._stop:
+                    self._cv.wait()
+                if self._stop and not self._queue:
+                    return
+            time.sleep(self.window)  # let concurrent requests pile in
+            with self._cv:
+                group, self._queue = (self._queue[:self.max_batch],
+                                      self._queue[self.max_batch:])
+            if not group:
+                continue
+            want_raw = any(p["raw"] for p in group)
+            try:
+                with self.lock:
+                    result = self.server.predict_batch(
+                        [p["obs"] for p in group], pad_to=self.max_batch,
+                        return_raw_output=want_raw)
+                self.batches += 1
+                action, raw = result if want_raw else (result, None)
+                for i, p in enumerate(group):
+                    row_raw = None
+                    if p["raw"]:
+                        row_raw = {k: np.asarray(v)[i:i + 1]
+                                   for k, v in raw.items()
+                                   if v is not None
+                                   and np.asarray(v).dtype != object}
+                    p["result"] = (action, i, row_raw)
+                    p["event"].set()
+            except Exception as e:
+                for p in group:
+                    p["error"] = e
+                    p["event"].set()
+
+
+def make_httpd(server, host: str = "127.0.0.1", port: int = 0,
+               max_batch: Optional[int] = None, batch_window_ms: float = 2.0):
     """Wrap a serving model in a ThreadingHTTPServer (port 0 = ephemeral;
-    the bound port is ``httpd.server_address[1]``)."""
+    the bound port is ``httpd.server_address[1]``). ``max_batch > 1``
+    enables dynamic batching: concurrent single-observation requests
+    coalesce into one padded device dispatch (``httpd.batcher`` exposes
+    request/batch counters)."""
     lock = threading.Lock()
     fields = tuple(getattr(server, "fields", None) or server._action_fields())
+    batcher = (_DynamicBatcher(server, lock, max_batch, batch_window_ms)
+               if max_batch and int(max_batch) > 1 else None)
     info = {
         "status": "ok",
         "fields": list(fields),
+        "max_batch": int(max_batch) if batcher else None,
         "threshold": float(getattr(server, "threshold", float("nan")))
         if getattr(server, "threshold", None) is not None else None,
         "quantize": getattr(server, "quantize", None),
@@ -159,6 +243,17 @@ def make_httpd(server, host: str = "127.0.0.1", port: int = 0):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 obs = _parse_observations(self.rfile.read(length))
+                if batcher is not None and len(obs) == 1:
+                    # single observations coalesce across clients
+                    action, i, row_raw = batcher.submit(obs[0], want_raw)
+                    out = {f: np.asarray(getattr(action, f),
+                                         np.float32)[i:i + 1]
+                           for f in fields}
+                    if want_raw:
+                        out.update({f"raw_{k}": v
+                                    for k, v in row_raw.items()})
+                    self._send(200, _npz_bytes(out), "application/x-npz")
+                    return
                 with lock:
                     result = server.predict_batch(obs,
                                                   return_raw_output=want_raw)
@@ -176,7 +271,17 @@ def make_httpd(server, host: str = "127.0.0.1", port: int = 0):
             except Exception as e:  # surface the failure to the client
                 self._send_json(400, {"error": f"{type(e).__name__}: {e}"})
 
-    return ThreadingHTTPServer((host, port), Handler)
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    httpd.batcher = batcher
+    _close = httpd.server_close
+
+    def server_close():
+        if batcher is not None:
+            batcher.close()
+        _close()
+
+    httpd.server_close = server_close
+    return httpd
 
 
 def main(argv=None) -> int:
@@ -197,6 +302,12 @@ def main(argv=None) -> int:
     p.add_argument("--threshold", type=float, default=None)
     p.add_argument("--warmup", type=int, default=None, metavar="SIZE",
                    help="pre-compile for SIZE x SIZE inputs before listening")
+    p.add_argument("--max-batch", type=int, default=None,
+                   help=">1: dynamic batching — concurrent single requests "
+                        "coalesce into one padded device dispatch")
+    p.add_argument("--batch-window-ms", type=float, default=2.0,
+                   help="how long the first queued request waits for "
+                        "company before dispatching")
     a = p.parse_args(argv)
 
     server = build_server(run_dir=a.run_dir, checkpoint=a.checkpoint,
@@ -206,7 +317,8 @@ def main(argv=None) -> int:
     if a.warmup and hasattr(server, "warmup"):
         print(f"[serve] warming up at {a.warmup}x{a.warmup} ...", flush=True)
         server.warmup(a.warmup)
-    httpd = make_httpd(server, a.host, a.port)
+    httpd = make_httpd(server, a.host, a.port, max_batch=a.max_batch,
+                       batch_window_ms=a.batch_window_ms)
     host, port = httpd.server_address[:2]
     print(f"[serve] listening on http://{host}:{port} "
           f"(POST /predict, GET /healthz)", flush=True)

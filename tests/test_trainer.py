@@ -798,3 +798,62 @@ def test_serve_daemon_http(trained):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_serve_daemon_dynamic_batching(trained):
+    """max_batch>1: concurrent single-observation HTTP requests coalesce
+    into shared padded device dispatches; every client still gets exactly
+    its own row (answers match the in-process server per-observation)."""
+    import http.client
+    import io
+    import threading
+
+    from bifold_tpu.serve import build_server, make_httpd
+
+    _, cfg, trainer, _ = trained
+    server = build_server(run_dir=trainer.run_dir, which="last")
+    httpd = make_httpd(server, max_batch=4, batch_window_ms=150.0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+    rng = np.random.default_rng(11)
+    n = 6
+    obs = [dict(rgb=rng.integers(0, 255, (96, 96, 3), dtype=np.uint8),
+                depth=rng.random((96, 96)).astype(np.float32),
+                mask=np.ones((96, 96), np.float32),
+                instruction=f"fold towel {i}") for i in range(n)]
+    # warm the padded pool program once so the concurrent burst below
+    # measures coalescing, not first-compile serialization
+    server.predict_batch([obs[0]], pad_to=4)
+
+    results = [None] * n
+
+    def call(i):
+        buf = io.BytesIO()
+        np.savez(buf, **{k: v for k, v in obs[i].items()
+                         if k != "instruction"},
+                 instruction=np.asarray(obs[i]["instruction"]))
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request("POST", "/predict", body=buf.getvalue())
+        r = conn.getresponse()
+        assert r.status == 200
+        results[i] = dict(np.load(io.BytesIO(r.read())))
+        conn.close()
+
+    try:
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(n):
+            direct = server.predict(**obs[i])
+            np.testing.assert_array_equal(
+                results[i]["pick"], np.asarray(direct.pick, np.float32))
+        assert httpd.batcher.requests == n
+        # 6 concurrent requests at max_batch 4 with a 150 ms window must
+        # coalesce into far fewer dispatches than requests
+        assert httpd.batcher.batches <= 3, httpd.batcher.batches
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
