@@ -623,6 +623,11 @@ def convert_bifold_inverse(params: Dict, *,
             out["pick_place.fusion.registers"] = \
                 np.asarray(fusion["registers"])
         for i, blk in enumerate(_unstack_blocks(fusion["transformer_encoder"])):
+            if "fc1" not in blk.get("mlp", {}):
+                raise NotImplementedError(
+                    "MoE fusion FFNs (model.moe_experts) have no "
+                    "reference-format equivalent; inverse conversion covers "
+                    "dense-FFN checkpoints only")
             p = f"pick_place.fusion.transformer_encoder.layers.{i}"
             _inv_ln(out, f"{p}.0.norm", blk["norm1"])
             out[f"{p}.0.fn.to_qkv.weight"] = \
@@ -760,8 +765,9 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--arch", choices=["siglip", "clip", "bifold"],
-                    required=True,
-                    help="siglip/clip: a pretrained tower checkpoint; "
+                    help="forward direction only (--inverse infers the "
+                         "family from the checkpoint tree). "
+                         "siglip/clip: a pretrained tower checkpoint; "
                          "bifold: a full fine-tuned reference model .pth "
                          "(e.g. the published BiFold checkpoints) — any "
                          "family; text_unet checkpoints pickle as "
@@ -793,6 +799,8 @@ def main() -> None:
         print(f"[convert] wrote reference-format {args.out} "
               f"({len(sd)} tensors)")
         return
+    if not args.arch:
+        ap.error("--arch is required for forward conversion")
     sd = load_state_dict(args.checkpoint)
     if args.arch == "siglip":
         converted = convert_siglip(sd, layers=args.layers, lora=args.lora)

@@ -80,11 +80,20 @@ def _parse_observations(body: bytes):
     unbatched observation)."""
     with np.load(io.BytesIO(body), allow_pickle=False) as z:
         arrays = {k: z[k] for k in z.files}
-    if "rgb" not in arrays or "instruction" not in arrays:
-        raise ValueError("payload must contain at least rgb and instruction")
+    if "instruction" not in arrays \
+            or ("rgb" not in arrays and "depth" not in arrays):
+        raise ValueError("payload must contain instruction and at least one "
+                         "of rgb / depth (depth-only serves the text_unet "
+                         "family)")
     instr = np.atleast_1d(arrays["instruction"].astype(str))
-    batched = arrays["rgb"].ndim == 4
-    n = arrays["rgb"].shape[0] if batched else 1
+    # batch discriminator: rgb is (H, W, 3) per observation / (B, H, W, 3)
+    # batched; depth is (H, W) / (B, H, W)
+    if "rgb" in arrays:
+        batched = arrays["rgb"].ndim == 4
+        n = arrays["rgb"].shape[0] if batched else 1
+    else:
+        batched = arrays["depth"].ndim == 3
+        n = arrays["depth"].shape[0] if batched else 1
     if len(instr) != n:
         raise ValueError(f"{n} observation row(s) but {len(instr)} "
                          "instruction(s)")
@@ -138,9 +147,20 @@ class _DynamicBatcher:
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
+    @staticmethod
+    def _compat_key(obs: dict):
+        """Only observations with identical array layouts may share a
+        padded dispatch — one client's differing camera resolution (or a
+        missing modality) must never fail another client's request."""
+        return tuple(sorted(
+            (k, np.asarray(v).shape, str(np.asarray(v).dtype))
+            for k, v in obs.items()
+            if isinstance(v, np.ndarray))) + (
+                ("ctx", len(obs.get("context") or [])),)
+
     def submit(self, obs: dict, want_raw: bool):
-        pend = {"obs": obs, "raw": want_raw, "event": threading.Event(),
-                "result": None, "error": None}
+        pend = {"obs": obs, "raw": want_raw, "key": self._compat_key(obs),
+                "event": threading.Event(), "result": None, "error": None}
         with self._cv:
             self._queue.append(pend)
             self.requests += 1
@@ -166,10 +186,16 @@ class _DynamicBatcher:
                     return
             time.sleep(self.window)  # let concurrent requests pile in
             with self._cv:
-                group, self._queue = (self._queue[:self.max_batch],
-                                      self._queue[self.max_batch:])
-            if not group:
-                continue
+                if not self._queue:
+                    continue
+                # one dispatch = up to max_batch requests sharing the FIRST
+                # request's layout; others stay queued for the next window
+                key = self._queue[0]["key"]
+                group = [p for p in self._queue
+                         if p["key"] == key][:self.max_batch]
+                taken = set(map(id, group))
+                self._queue = [p for p in self._queue
+                               if id(p) not in taken]
             want_raw = any(p["raw"] for p in group)
             try:
                 with self.lock:
@@ -202,6 +228,14 @@ def make_httpd(server, host: str = "127.0.0.1", port: int = 0,
     request/batch counters)."""
     lock = threading.Lock()
     fields = tuple(getattr(server, "fields", None) or server._action_fields())
+    exported_batch = getattr(server, "batch", None)
+    if (max_batch and int(max_batch) > 1 and exported_batch is not None
+            and int(max_batch) > int(exported_batch)):
+        # fail at startup, not as a 500 on every client request
+        raise ValueError(
+            f"--max-batch {max_batch} exceeds the exported artifact's "
+            f"pinned batch {exported_batch}; re-export with "
+            f"batch={max_batch} or lower --max-batch")
     batcher = (_DynamicBatcher(server, lock, max_batch, batch_window_ms)
                if max_batch and int(max_batch) > 1 else None)
     info = {
@@ -243,6 +277,10 @@ def make_httpd(server, host: str = "127.0.0.1", port: int = 0,
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 obs = _parse_observations(self.rfile.read(length))
+            except Exception as e:  # malformed payload: the CLIENT's fault
+                self._send_json(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            try:
                 if batcher is not None and len(obs) == 1:
                     # single observations coalesce across clients
                     action, i, row_raw = batcher.submit(obs[0], want_raw)
@@ -268,8 +306,8 @@ def make_httpd(server, host: str = "127.0.0.1", port: int = 0,
                                 if v is not None
                                 and np.asarray(v).dtype != object})
                 self._send(200, _npz_bytes(out), "application/x-npz")
-            except Exception as e:  # surface the failure to the client
-                self._send_json(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:  # prediction-time fault: the SERVER's
+                self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
 
     httpd = ThreadingHTTPServer((host, port), Handler)
     httpd.batcher = batcher
@@ -314,9 +352,16 @@ def main(argv=None) -> int:
                           config=a.config, artifact=a.artifact, which=a.which,
                           depth_wire=a.depth_wire, quantize=a.quantize,
                           threshold=a.threshold)
-    if a.warmup and hasattr(server, "warmup"):
-        print(f"[serve] warming up at {a.warmup}x{a.warmup} ...", flush=True)
-        server.warmup(a.warmup)
+    if a.warmup:
+        # the dynamic batcher dispatches at pad_to=max_batch — a different
+        # program shape than batch-1, so warm BOTH or the first coalesced
+        # request still pays the (minutes-long, over a tunnel) compile
+        pools = [None] + ([a.max_batch] if a.max_batch
+                          and a.max_batch > 1 else [])
+        for pool in pools:
+            print(f"[serve] warming up at {a.warmup}x{a.warmup}"
+                  f"{f' pool={pool}' if pool else ''} ...", flush=True)
+            server.warmup(a.warmup, pool=pool)
     httpd = make_httpd(server, a.host, a.port, max_batch=a.max_batch,
                        batch_window_ms=a.batch_window_ms)
     host, port = httpd.server_address[:2]

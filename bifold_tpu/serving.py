@@ -439,15 +439,23 @@ class ServingModel:
             return action, jax.tree_util.tree_map(np.asarray, out)
         return action
 
-    def warmup(self, input_size: int) -> None:
+    def warmup(self, input_size: int, pool: Optional[int] = None) -> None:
         """Pre-compile for a camera resolution before entering the control
-        loop (first compile is seconds-to-minutes; subsequent calls are ms)."""
+        loop (first compile is seconds-to-minutes; subsequent calls are ms).
+        ``pool``: also a pooled-batch shape — the padded program a dynamic
+        batcher or lockstep evaluator dispatches is a DIFFERENT compile than
+        batch-1."""
         rng = np.random.default_rng(0)
-        self.predict(
-            rgb=rng.integers(0, 255, (input_size, input_size, 3), dtype=np.uint8),
+        obs = dict(
+            rgb=rng.integers(0, 255, (input_size, input_size, 3),
+                             dtype=np.uint8),
             depth=rng.random((input_size, input_size)).astype(np.float32),
             mask=np.ones((input_size, input_size), np.float32),
             instruction="warmup")
+        if pool and int(pool) > 1:
+            self.predict_batch([obs], pad_to=int(pool))
+        else:
+            self.predict(**obs)
 
     # ------------------------------------------------------------------
     # Deployment artifact (jax.export)
@@ -562,6 +570,33 @@ class ExportedServingModel:
             [dict(rgb=rgb, depth=depth, mask=mask, instruction=instruction,
                   context=context)],
             return_raw_output=return_raw_output)
+
+    def warmup(self, input_size: Optional[int] = None,
+               pool: Optional[int] = None) -> None:
+        """Pre-compile the deserialized program. The artifact pins its one
+        observation shape (and its pooled batch), so the camera resolution
+        comes from the recorded schema; ``input_size``/``pool`` are accepted
+        for interface parity with :meth:`ServingModel.warmup` and ignored."""
+        shapes = {name: shape for name, _, shape in self.schema}
+        rng = np.random.default_rng(0)
+        obs: Dict[str, Any] = {}
+        if "rgb" in shapes:
+            obs["rgb"] = rng.integers(0, 255, shapes["rgb"][1:],
+                                      dtype=np.uint8)
+        if "depth" in shapes:
+            obs["depth"] = rng.random(shapes["depth"][1:]).astype(np.float32)
+        if "mask" in shapes:
+            obs["mask"] = np.ones(shapes["mask"][1:], np.float32)
+        if "ctx_rgb" in shapes:
+            t = shapes["ctx_rgb"][1]
+            obs["context"] = [dict(
+                rgb=rng.integers(0, 255, shapes["ctx_rgb"][2:],
+                                 dtype=np.uint8),
+                depth=(rng.random(shapes["ctx_depth"][2:]).astype(np.float32)
+                       if "ctx_depth" in shapes else None),
+                mask=(np.ones(shapes["ctx_mask"][2:], np.float32)
+                      if "ctx_mask" in shapes else None)) for _ in range(t)]
+        self.predict(**obs, instruction="warmup")
 
     def predict_batch(self, observations: List[Dict],
                       pad_to: Optional[int] = None,
