@@ -39,12 +39,19 @@ def main(argv: list[str] | None = None) -> int:
         print("Groups: model, dataset@train_dataset, dataset@test_dataset, "
               "processor, loss, optim, scheduler")
         return 0
+    cfg = compose(overrides)
+    if cfg.get("use_cpu"):
+        # reference parity (__main__.py:40-44 device select): force the CPU
+        # backend BEFORE any jax op — also the escape hatch when the TPU
+        # runtime is unreachable. A plain JAX_PLATFORMS env var is not
+        # enough on hosts whose sitecustomize re-registers a TPU plugin.
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     # multi-host / multi-slice: bring the multi-process runtime up before the
     # first jax op (no-op without JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES);
     # the loader and parallel.shard_batch then feed per-process shards
     from bifold_tpu import parallel
     parallel.distributed_init()
-    cfg = compose(overrides)
     dirname = override_dirname(overrides)
     run_dir = Path(cfg["run_dir"]) / dirname
     # run naming mirrors the reference's wandb wiring: name = override
@@ -53,6 +60,10 @@ def main(argv: list[str] | None = None) -> int:
     if not cfg["eval_only"]:
         trainer.prepare_train()
         trainer.train()
+        if trainer.preempted:
+            # the SIGTERM deadline is short on managed VMs: the checkpoint
+            # is written, skip the final eval and exit promptly
+            return 0
     trainer.eval()
     return 0
 

@@ -61,6 +61,12 @@ def split_batch(batch: Dict[str, Any]):
     return device, host
 
 
+class Preempted(Exception):
+    """Raised at a step boundary after SIGTERM: the preemption notice of
+    managed TPU VMs. train() catches it, writes a step-granular last.ckpt,
+    and returns cleanly — the next run auto-resumes mid-epoch."""
+
+
 class Trainer:
     def __init__(self, cfg: Config, run_dir: Optional[str | Path] = None,
                  run_name: Optional[str] = None):
@@ -108,6 +114,8 @@ class Trainer:
         self._loop_key = None
         self._resume_step_in_epoch = 0
         self._resume_loop_key = None
+        self._terminate = False
+        self.preempted = False
         self._async_ckpt = None
         self.tx = None
         self.opt_state = None
@@ -253,6 +261,21 @@ class Trainer:
         cfg = self.cfg
         eval_epochs = int(cfg.get("eval_epochs") or 0)
         save_epochs = cfg.get("save_epochs")
+        # graceful preemption: managed TPU VMs send SIGTERM ahead of the
+        # kill; convert it into a step-boundary checkpoint + clean exit.
+        # Signals only deliver to the main thread — elsewhere (tests,
+        # embedding apps) the flag can be set directly on the trainer.
+        import signal
+        import threading
+        prev_handler = None
+
+        def _on_term(signum, frame):
+            self._terminate = True
+            print("[trainer] SIGTERM: checkpointing at the next step "
+                  "boundary", flush=True)
+
+        if threading.current_thread() is threading.main_thread():
+            prev_handler = signal.signal(signal.SIGTERM, _on_term)
         try:
             for epoch in range(self.epoch, int(cfg["epochs"])):
                 self.epoch = epoch
@@ -268,6 +291,15 @@ class Trainer:
                         self.save_model("best")
                 if save_epochs and (epoch + 1) % int(save_epochs) == 0:
                     self.save_model("last")
+        except Preempted:
+            self.preempted = True
+            self.save_model("last")
+            print(f"[trainer] preempted at epoch {self.epoch} step "
+                  f"{self._step_in_epoch}; saved step-granular last.ckpt — "
+                  f"the next run resumes mid-epoch", flush=True)
+            if self._async_ckpt is not None:
+                self._async_ckpt.wait()
+            return
         except (KeyboardInterrupt, Exception):
             # crash-resume is the recovery path (reference auto-resumes from
             # last.pth, __main__.py:272-302): persist progress before dying.
@@ -280,6 +312,9 @@ class Trainer:
             except Exception as save_err:  # noqa: BLE001
                 print(f"[trainer] interrupt checkpoint failed: {save_err!r}")
             raise
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
         self.epoch = int(cfg["epochs"])
         self.save_model("last")
         if self._async_ckpt is not None:
@@ -333,6 +368,8 @@ class Trainer:
             samples += int(next(iter(device_batch.values())).shape[0])
             self.global_step += 1
             self._step_in_epoch = start + n_steps
+            if self._terminate:
+                raise Preempted()
             if save_steps and self.global_step % save_steps == 0:
                 self.save_model("last")
             if profile_steps and n_steps == profile_steps and self.epoch == 0:

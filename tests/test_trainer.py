@@ -886,3 +886,51 @@ def test_serve_daemon_mixed_shapes_and_parse():
                        for s in (96, 96, 128))
     assert k96 == k96b
     assert k96 != k128
+
+
+def test_sigterm_preemption_graceful_checkpoint(tmp_path):
+    """SIGTERM (the managed-TPU-VM preemption notice) converts into a
+    step-boundary checkpoint and a CLEAN return (no traceback, exit 0);
+    a fresh trainer resumes mid-epoch and finishes the run."""
+    import os
+    import signal
+
+    cfg = tiny_cfg(tmp_path, extra=("epochs=2", "eval_epochs=0"))
+    trainer = Trainer(Config(cfg), run_dir=tmp_path / "run")
+    trainer.prepare_train()
+
+    class TermAfter:
+        """Deliver SIGTERM while iterating — the flag must only take
+        effect at the next step boundary."""
+
+        def __init__(self, dl, n):
+            self.dl, self.n = dl, n
+
+        def __len__(self):
+            return len(self.dl)
+
+        def __iter__(self):
+            for i, batch in enumerate(self.dl):
+                if i == self.n:
+                    os.kill(os.getpid(), signal.SIGTERM)
+                yield batch
+
+    trainer.train_dataloader = TermAfter(trainer.train_dataloader, 1)
+    trainer.train()          # returns cleanly — no exception
+    assert trainer._terminate
+    assert trainer.epoch == 0          # preempted inside epoch 0
+    assert trainer._step_in_epoch == 2  # the in-flight step completed
+    # default SIGTERM disposition restored after train()
+    assert signal.getsignal(signal.SIGTERM) in (signal.SIG_DFL,
+                                                signal.default_int_handler)
+
+    from bifold_tpu.utils.checkpoint import load_checkpoint
+    payload = load_checkpoint(tmp_path / "run" / "checkpoints" / "last.ckpt")
+    assert payload["epoch"] == 0 and payload["step_in_epoch"] == 2
+    assert payload["loop_key"] is not None
+
+    t2 = Trainer(Config(cfg), run_dir=tmp_path / "run")
+    t2.prepare_train()       # auto-resumes from the preemption checkpoint
+    assert t2._resume_step_in_epoch == 2
+    t2.train()               # finishes both epochs
+    assert t2.epoch == 2
