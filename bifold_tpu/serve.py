@@ -13,6 +13,8 @@ a robot control loop.
 Protocol (stdlib + numpy only, no web framework):
 
 - ``GET /healthz`` — JSON liveness + model/threshold/quantize info.
+- ``GET /metrics`` — request/observation/error counters, end-to-end
+  latency percentiles (sliding window), and batcher coalescing stats.
 - ``POST /predict`` — body is one ``.npz`` payload: ``rgb`` uint8 (H, W, 3),
   ``depth`` float (H, W), ``mask`` (H, W), ``instruction`` (a string array),
   optionally stacked context frames ``ctx_rgb`` (T, H, W, 3) / ``ctx_depth``
@@ -238,6 +240,26 @@ def make_httpd(server, host: str = "127.0.0.1", port: int = 0,
             f"batch={max_batch} or lower --max-batch")
     batcher = (_DynamicBatcher(server, lock, max_batch, batch_window_ms)
                if max_batch and int(max_batch) > 1 else None)
+    # observability (GET /metrics): request/observation/error counters +
+    # end-to-end latency percentiles over a sliding window
+    metrics_lock = threading.Lock()
+    metrics = {"requests": 0, "observations": 0, "errors_400": 0,
+               "errors_500": 0}
+    latencies_ms: List[float] = []
+
+    def record(n_obs: int, t0: float, status: int):
+        import time
+        with metrics_lock:
+            metrics["requests"] += 1
+            metrics["observations"] += n_obs
+            if status == 400:
+                metrics["errors_400"] += 1
+            elif status == 500:
+                metrics["errors_500"] += 1
+            else:
+                latencies_ms.append((time.time() - t0) * 1e3)
+                del latencies_ms[:-512]   # sliding window
+
     info = {
         "status": "ok",
         "fields": list(fields),
@@ -263,8 +285,21 @@ def make_httpd(server, host: str = "127.0.0.1", port: int = 0,
             self._send(code, json.dumps(obj).encode(), "application/json")
 
         def do_GET(self):
-            if self.path.split("?")[0] == "/healthz":
+            route = self.path.split("?")[0]
+            if route == "/healthz":
                 self._send_json(200, info)
+            elif route == "/metrics":
+                with metrics_lock:
+                    snap = dict(metrics)
+                    lat = sorted(latencies_ms)
+                if lat:
+                    snap["latency_p50_ms"] = round(lat[len(lat) // 2], 3)
+                    snap["latency_p95_ms"] = round(
+                        lat[min(len(lat) - 1, int(len(lat) * 0.95))], 3)
+                if batcher is not None:
+                    snap["batcher_requests"] = batcher.requests
+                    snap["batcher_dispatches"] = batcher.batches
+                self._send_json(200, snap)
             else:
                 self._send_json(404, {"error": f"no route {self.path}"})
 
@@ -274,10 +309,13 @@ def make_httpd(server, host: str = "127.0.0.1", port: int = 0,
                 self._send_json(404, {"error": f"no route {path}"})
                 return
             want_raw = "raw=1" in query
+            import time
+            t0 = time.time()
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 obs = _parse_observations(self.rfile.read(length))
             except Exception as e:  # malformed payload: the CLIENT's fault
+                record(0, t0, 400)
                 self._send_json(400, {"error": f"{type(e).__name__}: {e}"})
                 return
             try:
@@ -290,6 +328,7 @@ def make_httpd(server, host: str = "127.0.0.1", port: int = 0,
                     if want_raw:
                         out.update({f"raw_{k}": v
                                     for k, v in row_raw.items()})
+                    record(1, t0, 200)
                     self._send(200, _npz_bytes(out), "application/x-npz")
                     return
                 with lock:
@@ -305,8 +344,10 @@ def make_httpd(server, host: str = "127.0.0.1", port: int = 0,
                                 for k, v in raw.items()
                                 if v is not None
                                 and np.asarray(v).dtype != object})
+                record(len(obs), t0, 200)
                 self._send(200, _npz_bytes(out), "application/x-npz")
             except Exception as e:  # prediction-time fault: the SERVER's
+                record(len(obs), t0, 500)
                 self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
 
     httpd = ThreadingHTTPServer((host, port), Handler)

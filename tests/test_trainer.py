@@ -795,6 +795,14 @@ def test_serve_daemon_http(trained):
         assert status == 400 and b"error" in data
         status, data = post("/nope", buf.getvalue())
         assert status == 404
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request("GET", "/metrics")
+        m = json.loads(conn.getresponse().read())
+        conn.close()
+        assert m["requests"] == 3 and m["observations"] == 3
+        assert m["errors_400"] == 1 and m["errors_500"] == 0
+        assert m["latency_p50_ms"] > 0
     finally:
         httpd.shutdown()
         httpd.server_close()
