@@ -106,8 +106,13 @@ def main():
          "requires_graph": False, "spatial_augment": False, "strategy": "gmm",
          "mask_depth": True, "standardize_depth": False},
         partition="test", max_context_length=3, autoprocessor_name="siglip")
+    # BIFOLD_ROLLOUT_INT8=1: the weight-only int8 serving arm (expected a
+    # footprint lever, not a latency one — measure to confirm)
+    import os
+    quantize = "int8" if os.environ.get("BIFOLD_ROLLOUT_INT8", "") \
+        not in ("", "0") else None
     server = ServingModel(model, {"params": params}, sproc,
-                          depth_wire_dtype="float16")
+                          depth_wire_dtype="float16", quantize=quantize)
     sresults = {}
     for k in BATCHES:
         obs = _observations(k)
