@@ -37,6 +37,7 @@ import argparse
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from typing import List, Optional
@@ -179,7 +180,6 @@ class _DynamicBatcher:
         self._worker.join(timeout=5)
 
     def _run(self):
-        import time
         while True:
             with self._cv:
                 while not self._queue and not self._stop:
@@ -248,7 +248,6 @@ def make_httpd(server, host: str = "127.0.0.1", port: int = 0,
     latencies_ms: List[float] = []
 
     def record(n_obs: int, t0: float, status: int):
-        import time
         with metrics_lock:
             metrics["requests"] += 1
             metrics["observations"] += n_obs
@@ -284,6 +283,16 @@ def make_httpd(server, host: str = "127.0.0.1", port: int = 0,
         def _send_json(self, code: int, obj):
             self._send(code, json.dumps(obj).encode(), "application/json")
 
+        def _reply(self, code: int, body: bytes,
+                   ctype: str = "application/x-npz"):
+            """Send AFTER the metrics were recorded: a client that hung up
+            mid-response must not re-enter the except path and double-count
+            its request as a server fault."""
+            try:
+                self._send(code, body, ctype)
+            except OSError:
+                pass  # client went away; the prediction itself succeeded
+
         def do_GET(self):
             route = self.path.split("?")[0]
             if route == "/healthz":
@@ -309,7 +318,6 @@ def make_httpd(server, host: str = "127.0.0.1", port: int = 0,
                 self._send_json(404, {"error": f"no route {path}"})
                 return
             want_raw = "raw=1" in query
-            import time
             t0 = time.time()
             try:
                 length = int(self.headers.get("Content-Length", "0"))
@@ -328,8 +336,9 @@ def make_httpd(server, host: str = "127.0.0.1", port: int = 0,
                     if want_raw:
                         out.update({f"raw_{k}": v
                                     for k, v in row_raw.items()})
+                    body = _npz_bytes(out)
                     record(1, t0, 200)
-                    self._send(200, _npz_bytes(out), "application/x-npz")
+                    self._reply(200, body)
                     return
                 with lock:
                     result = server.predict_batch(obs,
@@ -344,11 +353,14 @@ def make_httpd(server, host: str = "127.0.0.1", port: int = 0,
                                 for k, v in raw.items()
                                 if v is not None
                                 and np.asarray(v).dtype != object})
+                body = _npz_bytes(out)
                 record(len(obs), t0, 200)
-                self._send(200, _npz_bytes(out), "application/x-npz")
+                self._reply(200, body)
             except Exception as e:  # prediction-time fault: the SERVER's
                 record(len(obs), t0, 500)
-                self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+                self._reply(500, json.dumps(
+                    {"error": f"{type(e).__name__}: {e}"}).encode(),
+                    "application/json")
 
     httpd = ThreadingHTTPServer((host, port), Handler)
     httpd.batcher = batcher

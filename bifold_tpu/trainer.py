@@ -267,6 +267,11 @@ class Trainer:
         # embedding apps) the flag can be set directly on the trainer.
         import signal
         import threading
+        # stale flags from a previous preempted call must not instantly
+        # re-preempt a resumed train() on the same Trainer object
+        self._terminate = False
+        self.preempted = False
+        installed = False
         prev_handler = None
 
         def _on_term(signum, frame):
@@ -276,6 +281,7 @@ class Trainer:
 
         if threading.current_thread() is threading.main_thread():
             prev_handler = signal.signal(signal.SIGTERM, _on_term)
+            installed = True
         try:
             for epoch in range(self.epoch, int(cfg["epochs"])):
                 self.epoch = epoch
@@ -283,12 +289,16 @@ class Trainer:
                 # the epoch is complete: checkpoints written from here on
                 # (eval best, periodic last) must resume AFTER it, not replay
                 self.epoch = epoch + 1
+                if self._terminate:   # notice landed on the last step
+                    raise Preempted()
                 if eval_epochs and (epoch + 1) % eval_epochs == 0:
                     has_improved, metric_dict = self.eval_epoch(epoch)
                     self.writer.log({f"eval/{k}": v for k, v in metric_dict.items()},
                                     self.global_step)
                     if has_improved:
                         self.save_model("best")
+                    if self._terminate:   # notice landed DURING the eval —
+                        raise Preempted()  # don't silently swallow it
                 if save_epochs and (epoch + 1) % int(save_epochs) == 0:
                     self.save_model("last")
         except Preempted:
@@ -313,9 +323,19 @@ class Trainer:
                 print(f"[trainer] interrupt checkpoint failed: {save_err!r}")
             raise
         finally:
-            if prev_handler is not None:
-                signal.signal(signal.SIGTERM, prev_handler)
+            # restore-by-installed (NOT by prev_handler value: signal()
+            # returns None for handlers installed from C, and leaking
+            # _on_term would make the process un-terminatable)
+            if installed:
+                signal.signal(signal.SIGTERM,
+                              prev_handler if prev_handler is not None
+                              else signal.SIG_DFL)
         self.epoch = int(cfg["epochs"])
+        if self._terminate:
+            # the (single) notice landed after the last step — training IS
+            # complete, but callers must still skip post-training work and
+            # exit promptly
+            self.preempted = True
         self.save_model("last")
         if self._async_ckpt is not None:
             self._async_ckpt.wait()     # surface write errors before returning

@@ -942,3 +942,32 @@ def test_sigterm_preemption_graceful_checkpoint(tmp_path):
     assert t2._resume_step_in_epoch == 2
     t2.train()               # finishes both epochs
     assert t2.epoch == 2
+
+    # embedding-app style: the flag set directly (mid-run, e.g. from a
+    # watchdog thread) preempts at the next step boundary, and a LATER
+    # train() on the same object clears the stale flag and runs to
+    # completion instead of instantly re-preempting
+    cfg3 = tiny_cfg(tmp_path, extra=("epochs=2", "eval_epochs=0",
+                                     f"run_dir={tmp_path}/run3"))
+    t3 = Trainer(Config(cfg3), run_dir=tmp_path / "run3")
+    t3.prepare_train()
+
+    class FlagOnce:
+        def __init__(self, dl):
+            self.dl, self.fired = dl, False
+
+        def __len__(self):
+            return len(self.dl)
+
+        def __iter__(self):
+            for i, batch in enumerate(self.dl):
+                if i == 1 and not self.fired:
+                    self.fired = True
+                    t3._terminate = True
+                yield batch
+
+    t3.train_dataloader = FlagOnce(t3.train_dataloader)
+    t3.train()
+    assert t3.preempted and t3.epoch == 0
+    t3.train()   # stale flag cleared at entry; resumes and completes
+    assert t3.epoch == 2 and not t3.preempted
