@@ -44,7 +44,7 @@ from typing import List, Optional
 
 import numpy as np
 
-__all__ = ["build_server", "make_httpd", "main"]
+__all__ = ["build_server", "make_httpd", "RemotePolicy", "main"]
 
 
 def build_server(run_dir=None, checkpoint=None, config=None, artifact=None,
@@ -340,8 +340,12 @@ def make_httpd(server, host: str = "127.0.0.1", port: int = 0,
                     record(1, t0, 200)
                     self._reply(200, body)
                     return
+                pad_to = None
+                for part in query.split("&"):
+                    if part.startswith("pad="):
+                        pad_to = int(part[4:])
                 with lock:
-                    result = server.predict_batch(obs,
+                    result = server.predict_batch(obs, pad_to=pad_to,
                                                   return_raw_output=want_raw)
                 action, raw = result if want_raw else (result, None)
                 out = {f: np.asarray(getattr(action, f), np.float32)
@@ -373,6 +377,77 @@ def make_httpd(server, host: str = "127.0.0.1", port: int = 0,
 
     httpd.server_close = server_close
     return httpd
+
+
+class RemotePolicy:
+    """Closed-loop policy callable backed by a REMOTE serving daemon: the
+    sim/robot host packs raw observations into one npz POST and gets pixel
+    actions back — the production topology where the TPU serving host is a
+    different machine from the environment. Drop-in for the evaluators'
+    policy interface (``wants_raw``, single dict or lockstep pool,
+    ``pad_to`` forwarded so the remote program compiles at one pool shape).
+    Returns ``(Action, None)`` like :class:`bifold_tpu.serving.ServingPolicy`
+    (heatmaps stay on the serving host)."""
+
+    wants_raw = True
+
+    def __init__(self, url: str, timeout: float = 600.0):
+        from urllib.parse import urlparse
+        u = urlparse(url if "//" in url else f"http://{url}")
+        self.host, self.port = u.hostname, u.port or 80
+        self.timeout = timeout
+        import http.client
+        conn = http.client.HTTPConnection(self.host, self.port,
+                                          timeout=timeout)
+        conn.request("GET", "/healthz")
+        r = conn.getresponse()
+        if r.status != 200:
+            raise ConnectionError(f"serving daemon unhealthy: {r.status}")
+        self.info = json.loads(r.read())
+        conn.close()
+        self.fields = tuple(self.info["fields"])
+
+    @staticmethod
+    def _pack(observations: List[dict]) -> bytes:
+        arrays: Dict[str, np.ndarray] = {}
+        for name in ("rgb", "depth", "mask"):
+            vals = [o.get(name) for o in observations]
+            if vals[0] is not None:
+                arrays[name] = np.stack([np.asarray(v) for v in vals])
+        ctxs = [o.get("context") for o in observations]
+        if ctxs[0]:
+            t = len(ctxs[0])
+            if any(c is None or len(c) != t for c in ctxs):
+                raise ValueError("pooled observations must share one "
+                                 "context length")
+            for name in ("rgb", "depth", "mask"):
+                if ctxs[0][0].get(name) is not None:
+                    arrays[f"ctx_{name}"] = np.stack(
+                        [np.stack([np.asarray(f[name]) for f in c])
+                         for c in ctxs])
+        arrays["instruction"] = np.asarray(
+            [str(o.get("instruction", "")) for o in observations])
+        buf = io.BytesIO()
+        np.savez(buf, **arrays)
+        return buf.getvalue()
+
+    def __call__(self, obs, pad_to: Optional[int] = None):
+        from bifold_tpu.env.action import Action
+        observations = list(obs) if isinstance(obs, (list, tuple)) else [obs]
+        body = self._pack(observations)
+        import http.client
+        conn = http.client.HTTPConnection(self.host, self.port,
+                                          timeout=self.timeout)
+        path = "/predict" + (f"?pad={int(pad_to)}" if pad_to else "")
+        conn.request("POST", path, body=body)
+        r = conn.getresponse()
+        data = r.read()
+        conn.close()
+        if r.status != 200:
+            raise RuntimeError(f"remote predict failed ({r.status}): "
+                               f"{data[:300]!r}")
+        out = dict(np.load(io.BytesIO(data)))
+        return Action(**{f: out[f] for f in self.fields}), None
 
 
 def main(argv=None) -> int:

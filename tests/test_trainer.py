@@ -1040,3 +1040,61 @@ def test_serving_int8_fullscale_delta(tmp_path):
                           - np.asarray(r0[f"{h}_heatmap"], np.float32)))
         print(f"[int8 fullscale] {h} heatmap max|delta| = {d:.5f}")
         assert d < 0.05, f"{h}: int8 delta {d}"
+
+
+def test_remote_policy_closed_loop(trained, tmp_path):
+    """The full production topology: the closed-loop evaluator (sim host)
+    drives a serving DAEMON over HTTP via RemotePolicy — sequential and
+    lockstep-parallel (pooled dispatch with pad_to forwarded) — and records
+    finite metrics."""
+    import threading
+
+    from bifold_tpu.env.cloth_env import ClothEnv
+    from bifold_tpu.env.softgym_evaluator import (SoftgymParallelEvaluator,
+                                                  SoftgymSingleEvaluator)
+    from bifold_tpu.serve import RemotePolicy, build_server, make_httpd
+
+    _, cfg, trainer, _ = trained
+    server = build_server(run_dir=trainer.run_dir, which="last")
+    httpd = make_httpd(server)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+    try:
+        policy = RemotePolicy(f"127.0.0.1:{port}")
+        assert policy.wants_raw and "pick" in policy.fields
+
+        def cheap(ev, pool=None):
+            for env in getattr(ev, "envs", [ev.env]):
+                env.close()
+            if pool is None:
+                ev.env = ClothEnv(render_dim=64, native=False, substeps=2,
+                                  iterations=6)
+            else:
+                ev.envs = [ClothEnv(render_dim=64, native=False, substeps=2,
+                                    iterations=6) for _ in range(pool)]
+                ev.env = ev.envs[0]
+            ev.K = ev.env.intrinsic_from_fov(64, 64)
+            ev.error_threshold = ev.env.particle_radius * 2
+
+        seq = SoftgymSingleEvaluator(cache_dir=str(tmp_path), policy=policy,
+                                     processor=trainer.processor,
+                                     image_size=64)
+        cheap(seq)
+        seq.evaluate(num_evals=1, task="CornerFold", seed=0)
+        s = seq.summary()
+        seq.close()
+        assert "CornerFold si" in s and np.isfinite(s["error CornerFold si"])
+
+        par = SoftgymParallelEvaluator(cache_dir=str(tmp_path),
+                                       policy=policy,
+                                       processor=trainer.processor,
+                                       image_size=64, pool=2)
+        cheap(par, pool=2)
+        par.evaluate(num_evals=2, task="CornerFold", seed=0)
+        p = par.summary()
+        par.close()
+        assert "CornerFold si" in p and np.isfinite(p["error CornerFold si"])
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
