@@ -552,7 +552,12 @@ def run_softgym_eval(trainer) -> tuple:
     for bimanual models) and return (has_improved, metric_dict) like
     eval_epoch_pixel."""
     cfg = trainer.cfg
-    if bool(cfg.get("eval_serving_policy", False)) \
+    if cfg.get("eval_serving_url") and not trainer.processor.requires_graph:
+        # rollout inference against a REMOTE serving daemon (the sim host
+        # and the TPU serving host are different machines)
+        from bifold_tpu.serve import RemotePolicy
+        policy = RemotePolicy(str(cfg["eval_serving_url"]))
+    elif bool(cfg.get("eval_serving_policy", False)) \
             and not trainer.processor.requires_graph:
         # serve rollout inference through the one-dispatch packed-wire
         # program (uint8 rgb + f16 depth upload, on-device preprocessing) —
