@@ -1098,3 +1098,52 @@ def test_remote_policy_closed_loop(trained, tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_serve_daemon_bimanual_fields():
+    """The daemon serves 4-field bimanual actions (healthz advertises them,
+    RemotePolicy consumes them)."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from bifold_tpu.data.processor import Processor
+    from bifold_tpu.models import build_model
+    from bifold_tpu.serve import RemotePolicy, make_httpd
+    from bifold_tpu.serving import ServingModel
+
+    model = build_model({
+        "name": "siglip", "image_size": 64, "is_bimanual": True,
+        "patch_size": 16, "automodel_name": "tiny", "dim": 64,
+        "lora": False, "depth": 1, "heads": 4}, dtype=jnp.float32)
+    proc = Processor(
+        {"model_image_size": 64, "text_encoder": None, "sigma": 5,
+         "requires_graph": False, "spatial_augment": False,
+         "strategy": "gmm", "mask_depth": True, "standardize_depth": False},
+        partition="test", autoprocessor_name="tiny")
+    init = {"rgb": jnp.zeros((1, 3, 64, 64), jnp.float32),
+            "instruction": jnp.zeros((1, 64), jnp.int32),
+            "mask": jnp.ones((1, 1, 64, 64), jnp.float32)}
+    variables = jax.jit(
+        lambda k: model.init(k, init, deterministic=True))(jax.random.key(0))
+    server = ServingModel(model, variables, proc, threshold=0.01)
+
+    httpd = make_httpd(server)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        policy = RemotePolicy(f"127.0.0.1:{httpd.server_address[1]}")
+        assert policy.fields == ("left_pick", "right_pick",
+                                 "left_place", "right_place")
+        rng = np.random.default_rng(0)
+        action, _ = policy(dict(
+            rgb=rng.integers(0, 255, (96, 96, 3), dtype=np.uint8),
+            depth=rng.random((96, 96)).astype(np.float32),
+            mask=np.ones((96, 96), np.float32),
+            instruction="fold both sleeves inward"))
+        for f in policy.fields:
+            v = np.asarray(getattr(action, f))
+            assert v.shape == (1, 2) and np.isfinite(v).all()
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
