@@ -40,7 +40,7 @@ import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -117,6 +117,11 @@ def _parse_observations(body: bytes):
                             depth=None if ctx_depth is None else ctx_depth[t],
                             mask=None if ctx_mask is None else ctx_mask[t])
                        for t in range(ctx_rgb.shape[0])]
+            cc = row("ctx_count", i)
+            if cc is not None:
+                # ragged pools: each observation's REAL frame count rides
+                # the wire; the tail rows are client-side padding
+                context = context[:int(cc)]
         obs.append(dict(rgb=row("rgb", i), depth=row("depth", i),
                         mask=row("mask", i), instruction=str(instr[i]),
                         context=context))
@@ -320,14 +325,23 @@ def make_httpd(server, host: str = "127.0.0.1", port: int = 0,
             want_raw = "raw=1" in query
             t0 = time.time()
             try:
+                pad_to = None
+                for part in query.split("&"):
+                    if part.startswith("pad="):
+                        pad_to = int(part[4:])   # malformed pad: client 400
                 length = int(self.headers.get("Content-Length", "0"))
                 obs = _parse_observations(self.rfile.read(length))
             except Exception as e:  # malformed payload: the CLIENT's fault
                 record(0, t0, 400)
-                self._send_json(400, {"error": f"{type(e).__name__}: {e}"})
+                self._reply(400, json.dumps(
+                    {"error": f"{type(e).__name__}: {e}"}).encode(),
+                    "application/json")
                 return
             try:
-                if batcher is not None and len(obs) == 1:
+                # a client that manages its own pool shape (?pad=) bypasses
+                # the batcher — coalescing at pad_to=max_batch would compile
+                # a program shape the client never asked for
+                if batcher is not None and len(obs) == 1 and pad_to is None:
                     # single observations coalesce across clients
                     action, i, row_raw = batcher.submit(obs[0], want_raw)
                     out = {f: np.asarray(getattr(action, f),
@@ -340,10 +354,6 @@ def make_httpd(server, host: str = "127.0.0.1", port: int = 0,
                     record(1, t0, 200)
                     self._reply(200, body)
                     return
-                pad_to = None
-                for part in query.split("&"):
-                    if part.startswith("pad="):
-                        pad_to = int(part[4:])
                 with lock:
                     result = server.predict_batch(obs, pad_to=pad_to,
                                                   return_raw_output=want_raw)
@@ -396,16 +406,36 @@ class RemotePolicy:
         u = urlparse(url if "//" in url else f"http://{url}")
         self.host, self.port = u.hostname, u.port or 80
         self.timeout = timeout
-        import http.client
-        conn = http.client.HTTPConnection(self.host, self.port,
-                                          timeout=timeout)
-        conn.request("GET", "/healthz")
-        r = conn.getresponse()
-        if r.status != 200:
-            raise ConnectionError(f"serving daemon unhealthy: {r.status}")
-        self.info = json.loads(r.read())
-        conn.close()
+        # one keep-alive connection, serialized (the evaluators call the
+        # policy sequentially; the connection re-opens on any socket error
+        # so a daemon restart mid-rollout is a retry, not a dead policy)
+        self._conn = None
+        self._lock = threading.Lock()
+        status, data = self._request("GET", "/healthz")
+        if status != 200:
+            raise ConnectionError(f"serving daemon unhealthy: {status}")
+        self.info = json.loads(data)
         self.fields = tuple(self.info["fields"])
+
+    def _request(self, method: str, path: str, body=None):
+        import http.client
+        with self._lock:
+            for attempt in (0, 1):
+                if self._conn is None:
+                    self._conn = http.client.HTTPConnection(
+                        self.host, self.port, timeout=self.timeout)
+                try:
+                    self._conn.request(method, path, body=body)
+                    r = self._conn.getresponse()
+                    return r.status, r.read()
+                except (OSError, http.client.HTTPException):
+                    # stale keep-alive / daemon restart: reconnect once
+                    try:
+                        self._conn.close()
+                    finally:
+                        self._conn = None
+                    if attempt:
+                        raise
 
     @staticmethod
     def _pack(observations: List[dict]) -> bytes:
@@ -414,37 +444,38 @@ class RemotePolicy:
             vals = [o.get(name) for o in observations]
             if vals[0] is not None:
                 arrays[name] = np.stack([np.asarray(v) for v in vals])
-        ctxs = [o.get("context") for o in observations]
-        if ctxs[0]:
-            t = len(ctxs[0])
-            if any(c is None or len(c) != t for c in ctxs):
-                raise ValueError("pooled observations must share one "
-                                 "context length")
+        # ragged context pools (the bimanual replay evaluator produces
+        # them): pad every observation to the pool's longest context and
+        # send the real per-observation frame counts — the daemon truncates
+        # each row back before preprocessing (same ctx_count contract as
+        # Processor.make_raw)
+        ctxs = [list(o.get("context") or []) for o in observations]
+        t_max = max(len(c) for c in ctxs)
+        if t_max:
+            template = next(f for c in ctxs for f in c)
             for name in ("rgb", "depth", "mask"):
-                if ctxs[0][0].get(name) is not None:
-                    arrays[f"ctx_{name}"] = np.stack(
-                        [np.stack([np.asarray(f[name]) for f in c])
-                         for c in ctxs])
+                if template.get(name) is None:
+                    continue
+                pad = np.ones_like(np.asarray(template[name]))
+                arrays[f"ctx_{name}"] = np.stack(
+                    [np.stack([np.asarray(f[name])
+                               if f.get(name) is not None else pad
+                               for f in c]
+                              + [pad] * (t_max - len(c))) for c in ctxs])
+            arrays["ctx_count"] = np.asarray([len(c) for c in ctxs],
+                                             np.int32)
         arrays["instruction"] = np.asarray(
             [str(o.get("instruction", "")) for o in observations])
-        buf = io.BytesIO()
-        np.savez(buf, **arrays)
-        return buf.getvalue()
+        return _npz_bytes(arrays)
 
     def __call__(self, obs, pad_to: Optional[int] = None):
         from bifold_tpu.env.action import Action
         observations = list(obs) if isinstance(obs, (list, tuple)) else [obs]
         body = self._pack(observations)
-        import http.client
-        conn = http.client.HTTPConnection(self.host, self.port,
-                                          timeout=self.timeout)
         path = "/predict" + (f"?pad={int(pad_to)}" if pad_to else "")
-        conn.request("POST", path, body=body)
-        r = conn.getresponse()
-        data = r.read()
-        conn.close()
-        if r.status != 200:
-            raise RuntimeError(f"remote predict failed ({r.status}): "
+        status, data = self._request("POST", path, body=body)
+        if status != 200:
+            raise RuntimeError(f"remote predict failed ({status}): "
                                f"{data[:300]!r}")
         out = dict(np.load(io.BytesIO(data)))
         return Action(**{f: out[f] for f in self.fields}), None

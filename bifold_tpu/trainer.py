@@ -267,9 +267,10 @@ class Trainer:
         # embedding apps) the flag can be set directly on the trainer.
         import signal
         import threading
-        # stale flags from a previous preempted call must not instantly
-        # re-preempt a resumed train() on the same Trainer object
-        self._terminate = False
+        # _terminate is consume-on-preempt (cleared where it is honored, in
+        # the except below), NOT cleared here: a watchdog thread setting the
+        # flag just before train() enters must still preempt promptly. Only
+        # the output flag resets per call.
         self.preempted = False
         installed = False
         prev_handler = None
@@ -303,6 +304,7 @@ class Trainer:
                     self.save_model("last")
         except Preempted:
             self.preempted = True
+            self._terminate = False   # consumed — a later train() resumes
             self.save_model("last")
             print(f"[trainer] preempted at epoch {self.epoch} step "
                   f"{self._step_in_epoch}; saved step-granular last.ckpt — "
@@ -335,6 +337,7 @@ class Trainer:
             # the (single) notice landed after the last step — training IS
             # complete, but callers must still skip post-training work and
             # exit promptly
+            self._terminate = False
             self.preempted = True
         self.save_model("last")
         if self._async_ckpt is not None:

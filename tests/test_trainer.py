@@ -925,7 +925,8 @@ def test_sigterm_preemption_graceful_checkpoint(tmp_path):
 
     trainer.train_dataloader = TermAfter(trainer.train_dataloader, 1)
     trainer.train()          # returns cleanly — no exception
-    assert trainer._terminate
+    assert trainer.preempted
+    assert not trainer._terminate      # consumed at the preempt boundary
     assert trainer.epoch == 0          # preempted inside epoch 0
     assert trainer._step_in_epoch == 2  # the in-flight step completed
     # default SIGTERM disposition restored after train()
@@ -1144,6 +1145,66 @@ def test_serve_daemon_bimanual_fields():
         for f in policy.fields:
             v = np.asarray(getattr(action, f))
             assert v.shape == (1, 2) and np.isfinite(v).all()
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_remote_policy_ragged_contexts():
+    """A pooled remote call with DIFFERENT context lengths per observation
+    (0, 1, 2 frames — the bimanual replay evaluator produces such pools)
+    must predict exactly what the in-process ServingPolicy predicts:
+    ctx_count rides the wire and the daemon truncates the padding back."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from bifold_tpu.data.processor import Processor
+    from bifold_tpu.models import build_model
+    from bifold_tpu.serve import RemotePolicy, make_httpd
+    from bifold_tpu.serving import ServingModel, ServingPolicy
+
+    model = build_model({
+        "name": "siglip_sequential", "image_size": 64, "is_bimanual": False,
+        "patch_size": 16, "automodel_name": "tiny", "dim": 64,
+        "lora": False, "depth": 1, "heads": 4, "context_length": 2},
+        dtype=jnp.float32)
+    proc = Processor(
+        {"model_image_size": 64, "text_encoder": None, "sigma": 5,
+         "requires_graph": False, "spatial_augment": False,
+         "strategy": "gmm", "mask_depth": True, "standardize_depth": False},
+        partition="test", max_context_length=2, autoprocessor_name="tiny")
+    s = 64
+    init = {"rgb": jnp.zeros((1, 3, s, s), jnp.float32),
+            "instruction": jnp.zeros((1, 64), jnp.int32),
+            "mask": jnp.ones((1, 1, s, s), jnp.float32),
+            "rgb_context": jnp.zeros((1, 2, 3, s, s), jnp.float32),
+            "context_attention_mask": jnp.ones((1, 2), jnp.int32)}
+    variables = jax.jit(
+        lambda k: model.init(k, init, deterministic=True))(jax.random.key(0))
+    server = ServingModel(model, variables, proc, threshold=0.01)
+
+    rng = np.random.default_rng(4)
+
+    def frame():
+        return dict(rgb=rng.integers(0, 255, (96, 96, 3), dtype=np.uint8),
+                    depth=rng.random((96, 96)).astype(np.float32),
+                    mask=np.ones((96, 96), np.float32))
+
+    pool = [dict(frame(), instruction=f"fold {n}",
+                 context=[frame() for _ in range(n)]) for n in (0, 1, 2)]
+
+    httpd = make_httpd(server)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        remote = RemotePolicy(f"127.0.0.1:{httpd.server_address[1]}")
+        a_remote, _ = remote(pool, pad_to=4)
+        a_local, _ = ServingPolicy(server)(pool, pad_to=4)
+        np.testing.assert_array_equal(np.asarray(a_remote.pick),
+                                      np.asarray(a_local.pick))
+        np.testing.assert_array_equal(np.asarray(a_remote.place),
+                                      np.asarray(a_local.place))
     finally:
         httpd.shutdown()
         httpd.server_close()
