@@ -28,8 +28,22 @@ jax.config.update("jax_compilation_cache_dir",
                   str(Path(__file__).resolve().parent.parent / ".jax_cache_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+import subprocess
+
 import numpy as np
 import pytest
+
+# Build the native sim core if it is missing (fresh checkout / cleaned build
+# dir). The closed-loop env tests are calibrated against the native backend:
+# numpy-vs-native step parity is atol=2e-4 per 20 steps (test_sim), and over
+# a full multi-fold rollout that float-op-order divergence compounds
+# chaotically — enough to push threshold-tight trajectory assertions over
+# the line (seen once as a 0.0389 vs 6*radius=0.0375 failure) — and the
+# numpy fallback is ~10x slower. Idempotent: make no-ops when up to date.
+_CSRC = Path(__file__).resolve().parent.parent / "csrc"
+if (_CSRC / "Makefile").exists():
+    subprocess.run(["make", "-C", str(_CSRC)], capture_output=True,
+                   timeout=300, check=False)
 
 
 @pytest.fixture(scope="session")

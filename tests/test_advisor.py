@@ -1,0 +1,98 @@
+"""Mesh-layout advisor (parallel/advisor.py): compiled-HLO traffic mining
+and the roofline report over the virtual CPU mesh."""
+
+import jax
+import pytest
+
+from bifold_tpu.parallel.advisor import (_TINY_MODEL, _parse_collectives,
+                                         _wire_bytes, analyze_layout,
+                                         scale_report)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh")
+
+
+def test_wire_bytes_ring_formulas():
+    # all-gather result D over g: each device receives (g-1)/g of D
+    assert _wire_bytes("all-gather", 800, 8) == 700
+    # reduce-scatter result is the 1/g shard; full input moves (g-1)/g
+    assert _wire_bytes("reduce-scatter", 100, 8) == 700
+    # all-reduce = reduce-scatter + all-gather
+    assert _wire_bytes("all-reduce", 800, 8) == 1400
+    assert _wire_bytes("collective-permute", 800, 8) == 800
+    assert _wire_bytes("all-reduce", 800, 1) == 0
+
+
+def test_parse_collectives_formats():
+    hlo = """
+  %ag = bf16[8,32,64]{2,1,0} all-gather(bf16[1,32,64] %x), replica_groups={{0,1,2,3,4,5,6,7}}, dimensions={0}
+  %ar.1 = f32[128]{0} all-reduce-start(f32[128] %y), replica_groups=[2,4]<=[8]
+  %gte = f32[128]{0} get-tuple-element(%all-reduce.7), index=3
+  %done = f32[128]{0} all-reduce-done(f32[128] %ar.1)
+"""
+    agg = _parse_collectives(hlo, 8)
+    assert agg["all-gather"]["count"] == 1
+    assert agg["all-gather"]["result_bytes"] == 8 * 32 * 64 * 2
+    # group size 8 -> wire = result * 7 / 8
+    assert agg["all-gather"]["wire_bytes"] == 8 * 32 * 64 * 2 * 7 // 8
+    # iota replica_groups=[2,4] -> groups of 4; gte/done rows don't count
+    assert agg["all-reduce"]["count"] == 1
+    assert agg["all-reduce"]["result_bytes"] == 128 * 4
+    assert agg["all-reduce"]["wire_bytes"] == 2 * 512 * 3 // 4
+
+
+def test_parse_collectives_tuple_forms():
+    # fused variadic all-reduce: every tuple element is an output
+    hlo_variadic = ("  %t = (f32[4]{0}, f32[8]{0}) all-reduce(f32[4] %a, "
+                    "f32[8] %b), replica_groups={{0,1}}\n")
+    agg = _parse_collectives(hlo_variadic, 8)
+    assert agg["all-reduce"]["result_bytes"] == (4 + 8) * 4
+    # async all-gather-start: tuple = (operand alias, output) — only the
+    # output half counts
+    hlo_start = ("  %ags = (bf16[1,32]{1,0}, bf16[8,32]{1,0}) "
+                 "all-gather-start(bf16[1,32] %x), "
+                 "replica_groups={{0,1,2,3,4,5,6,7}}, dimensions={0}\n")
+    agg = _parse_collectives(hlo_start, 8)
+    assert agg["all-gather"]["result_bytes"] == 8 * 32 * 2
+
+
+@pytest.fixture(scope="module")
+def reports():
+    layouts = [{"dp": 8}, {"dp": 2, "fsdp": 2, "tp": 2}]
+    return {tuple(sorted(r["mesh"].items())): r
+            for r in scale_report(layouts, model_cfg=_TINY_MODEL, batch=8)}
+
+
+def test_analyze_layout_dp_only(reports):
+    r = reports[tuple(sorted({"dp": 8, "fsdp": 1, "tp": 1}.items()))]
+    assert r["n_devices"] == 8
+    # pure dp: gradients sync via all-reduce (or reduce-scatter+all-gather);
+    # some cross-device traffic must exist
+    assert r["collective_wire_bytes_per_device"] > 0
+    assert r["est"]["step_ms_lower_bound"] > 0
+    assert r["est"]["bottleneck"] in ("compute_ms", "hbm_ms", "ici_ms")
+    # replicated params: full param bytes on every device
+    assert r["param_bytes_per_device"] > 0
+
+
+def test_analyze_layout_fsdp_shards_params(reports):
+    dp = reports[tuple(sorted({"dp": 8, "fsdp": 1, "tp": 1}.items()))]
+    mixed = reports[tuple(sorted({"dp": 2, "fsdp": 2, "tp": 2}.items()))]
+    # fsdp=2 + tp=2 must strictly reduce per-device param residency vs
+    # fully-replicated dp (min_size keeps small leaves replicated, so the
+    # ratio is not exactly 4x)
+    assert (mixed["param_bytes_per_device"]
+            < dp["param_bytes_per_device"] * 0.9)
+    assert (mixed["opt_state_bytes_per_device"]
+            < dp["opt_state_bytes_per_device"])
+    # sharded weights force gather/reshard traffic. At tiny dims XLA is
+    # free to lower that as all-gather, all-to-all, or permute+select —
+    # assert the traffic, not the opcode (the flagship-shape all-gather
+    # assertion lives in __graft_entry__._flagship_sharded_compile_check)
+    assert mixed["collective_wire_bytes_per_device"] > 0
+    assert len(mixed["collectives"]) >= 2
+
+
+def test_scale_report_sorted(reports):
+    vals = [r["est"]["step_ms_lower_bound"] for r in reports.values()]
+    assert all(v > 0 for v in vals)
