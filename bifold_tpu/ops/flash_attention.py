@@ -428,19 +428,54 @@ def _bwd_impl(q, k, v, key_mask, out, lse_bhn, g, scale, block_q, block_k,
                      interpret)
 
 
-def _bh_spec(arg_shapes):
+def _pspec(arg_shape, mesh):
+    """PartitionSpec tuple of one incoming operand sharding, or None.
+
+    The callbacks below register with ``decode_shardings=False``, so jax
+    hands them raw ``GSPMDSharding``s instead of eagerly decoding to
+    ``NamedSharding`` — the eager decode hard-fails on shardy *sub-axis*
+    proposals (e.g. the vision tower's h=12 heads tiled 4-way over a
+    size-4 sub-axis of an fsdp=8 mesh axis, proposed when the fsdp-sharded
+    qkv projection's feature sharding propagates through the (b, n, h, d)
+    reshape) before any callback could pick a representable layout. Parsing
+    here, tolerantly, turns that compile crash into a fallback: unparseable
+    proposals return None and :func:`_bh_spec` tries the next operand.
+    """
+    sharding = getattr(arg_shape, "sharding", None)
+    if sharding is None:
+        return None
+    spec = getattr(sharding, "spec", None)
+    if spec is not None:  # already a NamedSharding
+        return tuple(spec)
+    hlo = getattr(sharding, "_hlo_sharding", None)
+    if hlo is None:
+        return None
+    try:
+        from jax._src.sharding_impls import parse_flatten_op_sharding
+        return tuple(parse_flatten_op_sharding(hlo, mesh)[0])
+    except (ValueError, AssertionError, KeyError):
+        return None
+
+
+def _bh_spec(arg_shapes, mesh):
     """(batch_axes, head_axes) from q's sharding, falling back to k then v
     when q arrives replicated (ADVICE r2: q replicated + k/v sharded must not
     silently force whole-kernel replication); everything else replicates."""
     for i in (0, 1, 2):
-        sharding = getattr(arg_shapes[i], "sharding", None)
-        spec = getattr(sharding, "spec", None)
+        spec = _pspec(arg_shapes[i], mesh)
         if spec is None:
             continue
-        spec = tuple(spec) + (None,) * (4 - len(tuple(spec)))
+        spec = spec + (None,) * (4 - len(spec))
         bs, hs = spec[0], spec[2]
         if bs is not None or hs is not None:
             return bs, hs
+    # q/k/v all replicated OR unrepresentable (sub-axis proposals): recover
+    # the batch split from the (b, s) key mask so the kernel degrades to
+    # batch-sharded + heads-replicated instead of fully replicated.
+    if len(arg_shapes) > 3:
+        spec = _pspec(arg_shapes[3], mesh)
+        if spec:
+            return spec[0], None
     return None, None
 
 
@@ -450,7 +485,7 @@ def _make_partition(n_outs_specs):
 
     def partition(scale, block_q, block_k, interpret, mesh, arg_shapes,
                   result_shape):
-        bs, hs = _bh_spec(arg_shapes)
+        bs, hs = _bh_spec(arg_shapes, mesh)
         if bs is None and hs is None and mesh.size > 1:
             import warnings
             warnings.warn(
@@ -484,7 +519,7 @@ def _make_partition(n_outs_specs):
 def _make_infer(n_outs_specs):
     def infer(scale, block_q, block_k, interpret, mesh, arg_shapes,
               result_shape):
-        bs, hs = _bh_spec(arg_shapes)
+        bs, hs = _bh_spec(arg_shapes, mesh)
         by_name = {"qkv": NamedSharding(mesh, P(bs, None, hs, None)),
                    "lse": NamedSharding(mesh, P(bs, hs, None))}
         if len(n_outs_specs) == 1:
@@ -501,6 +536,8 @@ _fwd_cp.def_partition(
     sharding_rule="b n h d, b s h d, b s h d, b s -> b n h d, b h n",
     # shardy wants these listed in factor-index (first-appearance) order
     need_replication_factors=("n", "d", "s"),
+    # raw GSPMD shardings; the callbacks decode tolerantly (_pspec)
+    decode_shardings=False,
 )
 
 _fwd_infer_cp = custom_partitioning(_fwd_infer_impl, static_argnums=(4, 5, 6, 7))
@@ -509,6 +546,7 @@ _fwd_infer_cp.def_partition(
     infer_sharding_from_operands=_make_infer(("qkv",)),
     sharding_rule="b n h d, b s h d, b s h d, b s -> b n h d",
     need_replication_factors=("n", "d", "s"),
+    decode_shardings=False,
 )
 
 _bwd_cp = custom_partitioning(_bwd_impl, static_argnums=(7, 8, 9, 10))
@@ -518,6 +556,7 @@ _bwd_cp.def_partition(
     sharding_rule=("b n h d, b s h d, b s h d, b s, b n h d, b h n, b n h d "
                    "-> b n h d, b s h d, b s h d"),
     need_replication_factors=("n", "d", "s"),
+    decode_shardings=False,
 )
 
 

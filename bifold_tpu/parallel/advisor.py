@@ -319,6 +319,15 @@ def analyze_layout(mesh_cfg: dict, *, batch: int = 8,
 
 def scale_report(layouts: list, **kwargs: Any) -> list:
     """Analyze each candidate layout and return reports sorted by the
-    roofline step-time lower bound (best first)."""
-    reports = [analyze_layout(layout, **kwargs) for layout in layouts]
-    return sorted(reports, key=lambda r: r["est"]["step_ms_lower_bound"])
+    roofline step-time lower bound (best first). A layout that fails to
+    compile is itself an advisory result — it is reported as
+    ``{"mesh": ..., "error": ...}`` and ranked last instead of aborting
+    the sweep."""
+    reports = []
+    for layout in layouts:
+        try:
+            reports.append(analyze_layout(layout, **kwargs))
+        except Exception as e:  # noqa: BLE001 — surface per-layout failures
+            reports.append({"mesh": dict(layout), "error": f"{type(e).__name__}: {e}"})
+    return sorted(reports, key=lambda r: (
+        "error" in r, r.get("est", {}).get("step_ms_lower_bound", 0.0)))

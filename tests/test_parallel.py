@@ -380,3 +380,42 @@ def test_sharded_serving_matches_unsharded(devices):
     # export from a sharded server is an explicit error, not a bad artifact
     with pytest.raises(NotImplementedError, match="mesh-sharded"):
         sharded.export("/tmp/should_not_exist.bifold", **obs[0])
+
+
+def test_flash_partition_tolerates_subaxis_gspmd_proposals(devices):
+    """Shardy can propose *sub-axis* shardings for the flash custom-call's
+    operands (seen live: the vision tower's h=12 heads tiled 4-way over a
+    size-4 sub-axis of an fsdp=8 mesh axis when the fsdp-sharded qkv
+    projection's feature sharding propagates through the (b, n, h, d)
+    reshape). jax's eager NamedSharding decode hard-fails on those, so the
+    callbacks register decode_shardings=False and parse tolerantly: the
+    unrepresentable proposal degrades to the key mask's batch split instead
+    of crashing the compile (or silently replicating the kernel)."""
+    from types import SimpleNamespace
+
+    from jax._src.lib import xla_client as xc
+    from jax._src.sharding_impls import GSPMDSharding
+    from jax.sharding import Mesh
+
+    from bifold_tpu.ops.flash_attention import _bh_spec, _pspec
+
+    mesh = Mesh(np.array(devices[:8]).reshape(8), ("fsdp",))
+    devs = tuple(mesh.devices.flat)
+    subaxis = GSPMDSharding(
+        devs, xc.HloSharding.iota_tile(
+            (1, 1, 4, 1, 2), subgroup_types=[xc.OpSharding.Type.REPLICATED]))
+    q8 = GSPMDSharding(devs, xc.HloSharding.iota_tile((8, 1, 1, 1)))
+    mask8 = GSPMDSharding(devs, xc.HloSharding.iota_tile((8, 1)))
+    arg = lambda s: SimpleNamespace(sharding=s)  # noqa: E731
+
+    # representable GSPMD tilings parse to their mesh axes
+    spec = _pspec(arg(q8), mesh)
+    assert spec is not None and spec[0] in ("fsdp", ("fsdp",))
+    # the sub-axis proposal is unrepresentable -> None, not a raise
+    assert _pspec(arg(subaxis), mesh) is None
+    # q/k/v all unrepresentable -> batch split recovered from the key mask
+    bs, hs = _bh_spec([arg(subaxis)] * 3 + [arg(mask8)], mesh)
+    assert bs in ("fsdp", ("fsdp",)) and hs is None
+    # nothing parseable at all -> full replication (the warned-about path)
+    bs, hs = _bh_spec([arg(subaxis)] * 4, mesh)
+    assert bs is None and hs is None

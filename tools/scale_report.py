@@ -77,6 +77,9 @@ def main() -> None:
         return
     gib = 1 << 30
     for r in reports:
+        if "error" in r:
+            print(f"\n== mesh {r['mesh']} == FAILED TO COMPILE:\n  {r['error']}")
+            continue
         est = r["est"]
         print(f"\n== mesh {r['mesh']}  ({r['n_devices']} devices, global "
               f"batch {r['batch_global']}) ==")
@@ -95,8 +98,11 @@ def main() -> None:
               f" {est['bottleneck']}-bound")
     print("\nranking (roofline lower bound, best first):")
     for i, r in enumerate(reports, 1):
-        print(f"  {i}. {r['mesh']}  >= {r['est']['step_ms_lower_bound']:.2f}"
-              f" ms/step ({r['est']['bottleneck']})")
+        if "error" in r:
+            print(f"  {i}. {r['mesh']}  FAILED ({r['error'].splitlines()[0][:80]})")
+        else:
+            print(f"  {i}. {r['mesh']}  >= {r['est']['step_ms_lower_bound']:.2f}"
+                  f" ms/step ({r['est']['bottleneck']})")
 
 
 if __name__ == "__main__":
