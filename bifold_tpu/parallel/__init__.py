@@ -40,6 +40,7 @@ __all__ = [
     "param_sharding",
     "shard_batch",
     "make_train_step",
+    "make_scan_train_step",
     "make_eval_step",
     "gpipe",
     "ring_attention",
@@ -217,7 +218,7 @@ def param_sharding(mesh: Mesh, params: Any, min_size: int = 2**16) -> Any:
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-def shard_batch(mesh: Mesh, batch: Any) -> Any:
+def shard_batch(mesh: Mesh, batch: Any, *, stacked: bool = False) -> Any:
     """Place a host batch with the batch dim sharded over (dcn, dp, fsdp).
 
     Single-process: a plain sharded ``device_put`` of the full batch.
@@ -227,24 +228,32 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     ever materializes the global batch, and cross-process traffic happens
     inside the compiled step's collectives, not at feed time.
 
+    ``stacked=True`` places a k-step stacked batch (leaves carry a leading
+    scan axis of k micro-step batches, :func:`make_scan_train_step`): the
+    scan axis replicates and the per-step batch dim (axis 1) shards over the
+    data axes.
+
     Non-array leaves (instruction strings, label_keys) pass through.
     """
-    sharding = batch_sharding(mesh)
+    batch_dim = 1 if stacked else 0
+    axes = _batch_axes(mesh)
+    sharding = (NamedSharding(mesh, P(None, axes)) if stacked
+                else batch_sharding(mesh))
     n_batch_shards = 1
-    for a in _batch_axes(mesh):
+    for a in axes:
         n_batch_shards *= mesh.shape[a]
     n_proc = jax.process_count()
 
     def put(x):
-        if isinstance(x, (np.ndarray, jax.Array)) and getattr(x, "ndim", 0) > 0:
+        if isinstance(x, (np.ndarray, jax.Array)) and getattr(x, "ndim", 0) > batch_dim:
             if n_proc > 1:
                 # x is this process's local slice; global batch = local * the
                 # number of feeding processes (dcn groups devices by process)
                 return jax.make_array_from_process_local_data(
                     sharding, np.asarray(x))
-            if x.shape[0] % n_batch_shards:
+            if x.shape[batch_dim] % n_batch_shards:
                 raise ValueError(
-                    f"Batch dim {x.shape[0]} must be divisible by the "
+                    f"Batch dim {x.shape[batch_dim]} must be divisible by the "
                     f"{n_batch_shards} data-axis shards; adjust batch_size "
                     f"or the mesh config")
             return jax.device_put(x, sharding)
@@ -355,6 +364,51 @@ def make_train_step(model, loss_fn: Callable, tx, *,
         return (params, opt_state, extra, key), metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_scan_train_step(step: Callable, k: int, *,
+                         same_batch: bool = False,
+                         donate: bool = True) -> Callable:
+    """Fuse ``k`` train steps into ONE dispatched program via ``lax.scan``.
+
+    The per-program launch cost (runtime dispatch + host round-trip on a
+    tunneled TPU; measured ~3.5 ms/step on the flagship, i.e. the gap
+    between ~81 ms device-busy and ~84.6 ms wall) is paid once per k steps
+    instead of every step — the standard TPU "multi-step train program"
+    idiom (cf. t5x/pax host loops). The reference has no equivalent: its
+    train loop is a per-step Python loop over a single GPU
+    (reference __main__.py:124-163, SURVEY.md §3.1).
+
+    ``step`` is the (jitted) single-step fn from :func:`make_train_step`;
+    its state carry (params, opt_state, extra, key) already advances the
+    PRNG key inside the program, so scanning it is exact: k fused steps
+    compute bit-identically to k dispatched steps.
+
+    With ``same_batch=False`` every batch leaf must carry a leading ``k``
+    axis (k stacked micro-step batches; ``lax.scan`` consumes one slice per
+    step). With ``same_batch=True`` one batch is re-used for all k steps —
+    for benchmarking only.
+
+    Returns ``multi(state, batch) -> (state, metrics)`` where ``metrics``
+    are the LAST fused step's (matching what a per-step caller would log
+    after its k-th step) plus ``loss_mean`` over the k steps.
+    """
+    if k < 1:
+        raise ValueError(f"scan steps k must be >= 1, got {k}")
+
+    def multi(state, batch):
+        def body(s, xs):
+            s2, m = step(s, batch if same_batch else xs)
+            return s2, m
+
+        xs = None if same_batch else batch
+        state, ms = jax.lax.scan(body, state, xs, length=k if same_batch
+                                 else None)
+        metrics = jax.tree_util.tree_map(lambda a: a[-1], ms)
+        metrics["loss_mean"] = jnp.mean(ms["loss"])
+        return state, metrics
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(model, *, has_batch_stats: bool = False) -> Callable:

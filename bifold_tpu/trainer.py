@@ -158,11 +158,21 @@ class Trainer:
             self.opt_state, parallel.param_sharding(self.mesh, self.opt_state))
         moe_aux = (float(getattr(self.model, "moe_aux_weight", 0.0))
                    if int(getattr(self.model, "moe_experts", 0) or 0) else 0.0)
+        donate = bool(self.cfg.get("donate_state", True))
         self._train_step = parallel.make_train_step(
             self.model, self.loss_fn, self.tx,
             has_batch_stats=self.has_batch_stats,
-            donate=bool(self.cfg.get("donate_state", True)),
+            donate=donate,
             trainable=mask, moe_aux_weight=moe_aux)
+        # steps_per_dispatch > 1: fuse k steps into one lax.scan program
+        # (parallel.make_scan_train_step) — amortizes per-program launch +
+        # per-step host sync k-ways; numerics are bit-identical to k
+        # dispatched steps (tested). Preemption/save_steps granularity
+        # coarsens to k steps; epoch tails (< k batches) run per-step.
+        self._scan_steps = max(1, int(cfg.get("steps_per_dispatch") or 1))
+        self._multi_step = (parallel.make_scan_train_step(
+            self._train_step, self._scan_steps, donate=donate)
+            if self._scan_steps > 1 else None)
         self.load_model(prefer="last")
 
     # ------------------------------------------------------------------
@@ -371,42 +381,87 @@ class Trainer:
         self._step_in_epoch = start
         state = (self.params, self.opt_state, self.extra_vars, loop_key)
         checked_grads = not bool(self.cfg.get("debug"))
-        for batch in self.train_dataloader:
-            device_batch, _ = split_batch(batch)
-            device_batch = parallel.shard_batch(self.mesh, device_batch)
+        k_scan = self._scan_steps if getattr(self, "_multi_step", None) else 1
+
+        def batch_groups():
+            """Yield lists of k_scan consecutive batches (the tail may be
+            shorter — it runs through the per-step program)."""
+            buf = []
+            for b in self.train_dataloader:
+                buf.append(b)
+                if len(buf) == k_scan:
+                    yield buf
+                    buf = []
+            if buf:
+                yield buf
+
+        for group in batch_groups():
+            host_batches = [split_batch(b)[0] for b in group]
+            fused = len(group) == k_scan and k_scan > 1
+            if fused:
+                # one host-side stack + ONE sharded transfer + ONE dispatch
+                # for k steps (make_scan_train_step)
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: np.stack(xs), *host_batches)
+                device_batch = parallel.shard_batch(self.mesh, stacked,
+                                                    stacked=True)
+            else:
+                device_batch = parallel.shard_batch(self.mesh, host_batches[0])
             if not checked_grads:
-                self._debug_check_gradients(state, device_batch)
+                single = (device_batch if not fused else
+                          parallel.shard_batch(self.mesh, host_batches[0]))
+                self._debug_check_gradients(state, single)
                 checked_grads = True
             if self.cfg.get("visualize_model_inputs") and self.global_step == 0:
-                self._visualize_model_inputs(batch)
+                self._visualize_model_inputs(group[0])
             t0 = time.time()
-            state, step_metrics = self._train_step(state, device_batch)
+            if fused:
+                state, step_metrics = self._multi_step(state, device_batch)
+            else:
+                # k_scan == 1, or the epoch tail (< k batches): per-step
+                # program. Tail batches run one dispatch each.
+                tail_losses = []
+                for extra in host_batches[1:]:
+                    state, m = self._train_step(state, device_batch)
+                    tail_losses.append(float(m["loss"]))
+                    device_batch = parallel.shard_batch(self.mesh, extra)
+                state, step_metrics = self._train_step(state, device_batch)
+                if tail_losses:
+                    step_metrics = dict(step_metrics)
+                    step_metrics["loss_mean"] = (
+                        (sum(tail_losses) + float(step_metrics["loss"]))
+                        / len(group))
+            n_done = len(group)
             # The donated step invalidates the previous state's buffers; keep
             # live handles every step so the interrupt path (train()'s except
             # -> save_model) never reads deleted arrays mid-epoch.
             self.params, self.opt_state, self.extra_vars, self._loop_key = state
             loss = float(step_metrics["loss"])
-            running += loss
-            n_steps += 1
-            samples += int(next(iter(device_batch.values())).shape[0])
-            self.global_step += 1
+            running += float(step_metrics.get("loss_mean", loss)) * n_done
+            n_steps += n_done
+            samples += int(host_batches[0][next(
+                kk for kk, vv in host_batches[0].items()
+                if hasattr(vv, "shape"))].shape[0]) * n_done
+            prev_global = self.global_step
+            self.global_step += n_done
             self._step_in_epoch = start + n_steps
             if self._terminate:
                 raise Preempted()
-            if save_steps and self.global_step % save_steps == 0:
+            if save_steps and (self.global_step // save_steps
+                               > prev_global // save_steps):
                 self.save_model("last")
-            if profile_steps and n_steps == profile_steps and self.epoch == 0:
+            if profile_steps and n_steps >= profile_steps and self.epoch == 0:
                 jax.block_until_ready(step_metrics["loss"])
                 jax.profiler.stop_trace()
                 profile_steps = 0
-            if self.global_step % log_every == 0:
+            if self.global_step // log_every > prev_global // log_every:
                 lr = float(self.schedule(self.global_step)) if self.schedule else None
                 self.writer.log(
                     {"train/loss": loss,
                      **{f"train/{k}": float(v) for k, v in step_metrics.items()
                         if k != "loss"},
                      "train/lr": lr,
-                     "train/step_time_s": time.time() - t0},
+                     "train/step_time_s": (time.time() - t0) / n_done},
                     self.global_step)
         self.params, self.opt_state, self.extra_vars, _ = state
         # epoch complete: subsequent checkpoints are epoch-boundary ones

@@ -419,3 +419,122 @@ def test_flash_partition_tolerates_subaxis_gspmd_proposals(devices):
     # nothing parseable at all -> full replication (the warned-about path)
     bs, hs = _bh_spec([arg(subaxis)] * 4, mesh)
     assert bs is None and hs is None
+
+
+def test_scan_train_step_matches_dispatched(devices):
+    """k steps fused into one lax.scan program (make_scan_train_step) must be
+    bit-identical to k separately dispatched steps — same params, same last
+    metrics — including the dropout PRNG stream carried in the state."""
+    import flax.linen as nn
+    import optax
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, batch, deterministic=True, **kw):
+            h = nn.Dense(16)(batch["x"])
+            h = nn.Dropout(0.1, deterministic=deterministic)(h)
+            return {"y": nn.Dense(4)(nn.relu(h))}
+
+    def loss_fn(out, batch):
+        loss = jnp.mean((out["y"] - batch["t"]) ** 2)
+        return loss, {"mse": loss}
+
+    model = Tiny()
+    rng = np.random.default_rng(0)
+    mk = lambda: {  # noqa: E731
+        "x": jnp.asarray(rng.standard_normal((8, 8)), jnp.float32),
+        "t": jnp.asarray(rng.standard_normal((8, 4)), jnp.float32)}
+    batch0 = mk()
+    params = model.init(jax.random.key(0), batch0)["params"]
+    tx = optax.adam(1e-2)
+    step = parallel.make_train_step(model, loss_fn, tx, donate=False)
+
+    k = 4
+    batches = [mk() for _ in range(k)]
+    state = (params, tx.init(params), {}, jax.random.key(7))
+    losses = []
+    for b in batches:
+        state, m = step(state, b)
+        losses.append(float(m["loss"]))
+
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+    multi = parallel.make_scan_train_step(step, k, donate=False)
+    state_s, m_s = multi((params, tx.init(params), {}, jax.random.key(7)),
+                         stacked)
+
+    for a, b in zip(jax.tree_util.tree_leaves(state[0]),
+                    jax.tree_util.tree_leaves(state_s[0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(m_s["loss"]) == losses[-1]          # last step's metrics
+    assert float(m_s["mse"]) == losses[-1]
+    np.testing.assert_allclose(float(m_s["loss_mean"]), np.mean(losses),
+                               rtol=1e-6)
+
+    # same_batch benchmarking path: k reuses of one batch == k dispatches
+    multi_sb = parallel.make_scan_train_step(step, k, same_batch=True,
+                                             donate=False)
+    state_r = (params, tx.init(params), {}, jax.random.key(7))
+    for _ in range(k):
+        state_r, _ = step(state_r, batch0)
+    state_b, _ = multi_sb((params, tx.init(params), {}, jax.random.key(7)),
+                          batch0)
+    for a, b in zip(jax.tree_util.tree_leaves(state_r[0]),
+                    jax.tree_util.tree_leaves(state_b[0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    with pytest.raises(ValueError):
+        parallel.make_scan_train_step(step, 0)
+
+
+def test_scan_train_step_sharded(devices):
+    """The fused multi-step program composes with a dp-sharded mesh: state
+    donation + scan over device-sharded stacked batches runs and matches the
+    per-step sharded path."""
+    import flax.linen as nn
+    import optax
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, batch, deterministic=True, **kw):
+            return {"y": nn.Dense(4)(batch["x"])}
+
+    def loss_fn(out, batch):
+        loss = jnp.mean((out["y"] - batch["t"]) ** 2)
+        return loss, {}
+
+    model = Tiny()
+    rng = np.random.default_rng(0)
+    mk = lambda: {  # noqa: E731
+        "x": rng.standard_normal((8, 8)).astype(np.float32),
+        "t": rng.standard_normal((8, 4)).astype(np.float32)}
+    batches = [mk() for _ in range(3)]
+    params = model.init(jax.random.key(0), batches[0])["params"]
+    tx = optax.sgd(1e-2)  # SGD: exact across sharding (CLAUDE.md Adam note)
+    step = parallel.make_train_step(model, loss_fn, tx, donate=False)
+
+    mesh = parallel.make_mesh({"dp": -1, "fsdp": 1, "tp": 1})
+    sp = parallel.param_sharding(mesh, params)
+    expect = (jax.device_put(params, sp),
+              jax.device_put(tx.init(params),
+                             parallel.param_sharding(mesh, tx.init(params))),
+              {}, jax.random.key(1))
+    for b in batches:
+        expect, _ = step(expect, parallel.shard_batch(mesh, b))
+
+    # stacked batches shard over the data axes on the (per-step) batch axis 1
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: np.stack(xs), *batches)
+    data_axes = tuple(parallel._batch_axes(mesh))
+    sharded_stack = {kk: jax.device_put(
+        v, jax.sharding.NamedSharding(mesh, P(None, data_axes)))
+        for kk, v in stacked.items()}
+    multi = parallel.make_scan_train_step(step, 3)
+    got = (jax.device_put(params, sp),
+           jax.device_put(tx.init(params),
+                          parallel.param_sharding(mesh, tx.init(params))),
+           {}, jax.random.key(1))
+    got, metrics = multi(got, sharded_stack)
+    for a, b in zip(jax.tree_util.tree_leaves(expect[0]),
+                    jax.tree_util.tree_leaves(got[0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    assert np.isfinite(float(metrics["loss"]))

@@ -1208,3 +1208,38 @@ def test_remote_policy_ragged_contexts():
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_steps_per_dispatch_matches_per_step(tmp_path):
+    """steps_per_dispatch=2 (k steps fused into one lax.scan dispatch) trains
+    bit-identically to the per-step path: same loader order, same key chain,
+    same final params/opt-state — including the epoch TAIL (3 steps/epoch =
+    one fused pair + one per-step remainder) and global_step accounting."""
+    import jax
+
+    def cfg_for(run_dir, extra=()):
+        return compose([
+            "train_dataset=synthetic", "test_dataset=null", "model=siglip",
+            "train_dataset.n_samples=24", "train_dataset.image_size=64",
+            "model.image_size=64", "model.automodel_name=tiny",
+            "model.dim=64", "model.depth=1", "model.heads=4", "model.r=2",
+            "epochs=2", "eval_epochs=0", "batch_size=8", "test_batch_size=8",
+            "simulator=null", f"run_dir={run_dir}", "log_every=1", *extra,
+        ])
+
+    ta = Trainer(Config(cfg_for(tmp_path / "a")), run_dir=tmp_path / "a")
+    ta.prepare_train()
+    ta.train()
+    assert ta.global_step == 6
+
+    tb = Trainer(Config(cfg_for(tmp_path / "b",
+                                ("steps_per_dispatch=2",))),
+                 run_dir=tmp_path / "b")
+    tb.prepare_train()
+    assert tb._multi_step is not None
+    tb.train()
+    assert tb.global_step == 6
+
+    for a, b in zip(jax.tree_util.tree_leaves(ta.params),
+                    jax.tree_util.tree_leaves(tb.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
