@@ -382,6 +382,9 @@ class Trainer:
         state = (self.params, self.opt_state, self.extra_vars, loop_key)
         checked_grads = not bool(self.cfg.get("debug"))
         k_scan = self._scan_steps if getattr(self, "_multi_step", None) else 1
+        readback_window = max(0, int(self.cfg.get("loss_readback_window",
+                                                  2) or 0))
+        pending = []   # deferred (loss_mean future, n_steps) readbacks
 
         def batch_groups():
             """Yield lists of k_scan consecutive batches (the tail may be
@@ -436,8 +439,18 @@ class Trainer:
             # live handles every step so the interrupt path (train()'s except
             # -> save_model) never reads deleted arrays mid-epoch.
             self.params, self.opt_state, self.extra_vars, self._loop_key = state
-            loss = float(step_metrics["loss"])
-            running += float(step_metrics.get("loss_mean", loss)) * n_done
+            # Deferred loss readback: float(loss) every step blocks the host
+            # until that step FINISHES — a full round-trip serialized into
+            # every step (measured +26-31 ms/step over this tunnel; a
+            # per-step sync would cost real time on any host). Keep a
+            # readback_window-deep queue of loss futures instead, so up to W
+            # steps stay in flight and the device never idles between
+            # dispatches; log/save boundaries drain it (a natural sync).
+            pending.append((step_metrics.get("loss_mean",
+                                             step_metrics["loss"]), n_done))
+            while len(pending) > readback_window:
+                a, nd = pending.pop(0)
+                running += float(a) * nd
             n_steps += n_done
             samples += int(host_batches[0][next(
                 kk for kk, vv in host_batches[0].items()
@@ -455,14 +468,20 @@ class Trainer:
                 jax.profiler.stop_trace()
                 profile_steps = 0
             if self.global_step // log_every > prev_global // log_every:
+                while pending:           # sync point — bring running current
+                    a, nd = pending.pop(0)
+                    running += float(a) * nd
                 lr = float(self.schedule(self.global_step)) if self.schedule else None
                 self.writer.log(
-                    {"train/loss": loss,
+                    {"train/loss": float(step_metrics["loss"]),
                      **{f"train/{k}": float(v) for k, v in step_metrics.items()
                         if k != "loss"},
                      "train/lr": lr,
                      "train/step_time_s": (time.time() - t0) / n_done},
                     self.global_step)
+        while pending:
+            a, nd = pending.pop(0)
+            running += float(a) * nd
         self.params, self.opt_state, self.extra_vars, _ = state
         # epoch complete: subsequent checkpoints are epoch-boundary ones
         # (resume restarts the next epoch's key chain from self.key)
