@@ -33,7 +33,9 @@ import numpy as np
 __all__ = [
     "HashTokenizer",
     "ClipBPETokenizer",
+    "SpmSiglipTokenizer",
     "build_tokenizer",
+    "siglip_spm_path",
     "CLIP_CONTEXT_LENGTH",
     "SIGLIP_CONTEXT_LENGTH",
 ]
@@ -215,6 +217,86 @@ except ImportError:
     _HAS_REGEX = False
 
 
+class SpmSiglipTokenizer:
+    """SigLIP sentencepiece tokenizer from scratch (VERDICT r3 missing #1).
+
+    Reproduces HF ``SiglipTokenizer`` (the reference's AutoProcessor text
+    path, /root/reference/bifold/data/processor.py:126-141) on top of our
+    own unigram engine (:mod:`bifold_tpu.data.spm`) — no ``sentencepiece``
+    wheel, no ``transformers`` tokenizer assets, just the checkpoint's
+    ``spiece.model`` file. The preprocessing chain mirrors
+    transformers/models/siglip/tokenization_siglip.py exactly:
+
+    1. ``"▁" + text.replace("▁", " ")`` (tokenize() wrapper),
+    2. lowercase (``do_lower_case=True`` default),
+    3. canonicalize: strip ASCII punctuation, collapse whitespace, strip,
+    4. encode ``unk_token + text`` with ``add_dummy_prefix`` DISABLED and
+       drop the first ``len(encode(unk_token))`` pieces (HF's workaround
+       for spm's dummy-prefix stripping — kept so ids match bit-for-bit),
+    5. append ``</s>`` (eos), truncate to ``context_length`` keeping eos,
+       right-pad with the pad token (``</s>`` too, per SiglipTokenizer).
+    """
+
+    def __init__(self, model_path: str | Path,
+                 context_length: int = SIGLIP_CONTEXT_LENGTH,
+                 do_lower_case: bool = True,
+                 unk_token: str = "<unk>", eos_token: str = "</s>",
+                 pad_token: str = "</s>"):
+        from bifold_tpu.data.spm import SentencePieceModel
+
+        self.spm = SentencePieceModel.load(model_path)
+        # HF SiglipTokenizer.get_spm_processor forces add_dummy_prefix off
+        self.spm.add_dummy_prefix = False
+        self.context_length = context_length
+        self.do_lower_case = do_lower_case
+        self.unk_token = unk_token
+        self.eot = self.spm.piece_to_id(eos_token)
+        self.pad = self.spm.piece_to_id(pad_token)
+        self.vocab_size = self.spm.vocab_size
+        self._unk_len = len(self.spm.encode_pieces(unk_token))
+
+    _PUNCT_TABLE = str.maketrans(
+        "", "", r"""!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~""")  # string.punctuation
+
+    def encode(self, text: str) -> list[int]:
+        text = "▁" + text.replace("▁", " ")
+        if self.do_lower_case:
+            text = text.lower()
+        # canonicalize_text (big_vision prompt engineering, mirrored by HF)
+        text = text.translate(self._PUNCT_TABLE)
+        text = re.sub(r"\s+", " ", text).strip()
+        pieces = self.spm.encode_pieces(self.unk_token + text)
+        if len(pieces) >= self._unk_len:
+            pieces = pieces[self._unk_len:]
+        return self.spm.pieces_to_ids(pieces)
+
+    def __call__(self, text: str) -> np.ndarray:
+        ids = self.encode(text)
+        ids = ids[: self.context_length - 1] + [self.eot]
+        out = np.full((self.context_length,), self.pad, dtype=np.int32)
+        out[: len(ids)] = ids
+        return out
+
+
+def siglip_spm_path() -> Optional[Path]:
+    """The SigLIP ``spiece.model`` asset: ``$BIFOLD_SIGLIP_SPM`` override,
+    else the repo asset dir (populated by ``models/convert.py``, which
+    copies the file out of the HF checkpoint dir at conversion time), else
+    a local HF hub cache. None when absent (→ hash fallback, loud)."""
+    env = os.environ.get("BIFOLD_SIGLIP_SPM")
+    if env and Path(env).exists():
+        return Path(env)
+    vendored = Path(__file__).parent / "assets" / "spiece.model"
+    if vendored.exists():
+        return vendored
+    hub = Path(os.environ.get("HF_HOME",
+                              Path.home() / ".cache" / "huggingface")) / "hub"
+    for pat in ("models--google--siglip-*", "models--*siglip*"):
+        for cand in sorted(hub.glob(f"{pat}/snapshots/*/spiece.model")):
+            return cand
+    return None
+
+
 def clip_bpe_path() -> Optional[Path]:
     """The CLIP BPE merges file: ``$BIFOLD_CLIP_BPE`` override, else the
     vendored copy (``data/assets/bpe_simple_vocab_16e6.txt.gz`` — the public
@@ -247,6 +329,12 @@ def build_tokenizer(text_encoder: Optional[str] = None,
     os.environ.setdefault("HF_HUB_OFFLINE", "1")
     os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
     if autoprocessor_name:
+        # our own unigram engine first: only needs the spiece.model FILE
+        # (carried out of checkpoints by models/convert.py), not the
+        # sentencepiece wheel or HF tokenizer assets — exact ids offline
+        spm_asset = siglip_spm_path()
+        if spm_asset is not None:
+            return SpmSiglipTokenizer(spm_asset)
         try:
             from transformers import AutoTokenizer  # noqa: WPS433
             tok = AutoTokenizer.from_pretrained(autoprocessor_name,
@@ -297,4 +385,8 @@ def _warn_hash_fallback(missing: str) -> None:
         f"tokenizer falling back to deterministic hashing ({missing} not "
         "available offline). Fine for from-scratch training smokes; WRONG "
         "for converted pretrained checkpoints — their embeddings expect the "
-        "original vocabulary ids.", stacklevel=3)
+        "original vocabulary ids. For SigLIP, drop the checkpoint's "
+        "spiece.model next to the converted .ckpt (models/convert.py copies "
+        "it automatically) or set $BIFOLD_SIGLIP_SPM — the built-in "
+        "sentencepiece engine (data/spm.py) then tokenizes exactly.",
+        stacklevel=3)

@@ -819,6 +819,19 @@ def main() -> None:
     n = sum(np.asarray(x).size
             for x in __import__("jax").tree_util.tree_leaves(converted))
     print(f"[convert] wrote {args.out} ({n / 1e6:.1f}M params)")
+    # carry tokenizer assets alongside the converted weights: a spiece.model
+    # in the source HF checkpoint dir rides to the output dir, where
+    # utils/checkpoint.load_checkpoint registers it for the from-scratch
+    # sentencepiece tokenizer (exact pretrained ids offline — VERDICT r3 #1)
+    src = Path(args.checkpoint)
+    src_dir = src if src.is_dir() else src.parent
+    spm = src_dir / "spiece.model"
+    if spm.exists():
+        import shutil
+        dest = Path(args.out).parent / "spiece.model"
+        if spm.resolve() != dest.resolve():
+            shutil.copyfile(spm, dest)
+        print(f"[convert] carried tokenizer asset -> {dest}")
 
 
 if __name__ == "__main__":

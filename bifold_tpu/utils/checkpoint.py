@@ -161,7 +161,18 @@ class AsyncCheckpointer:
 
 def load_checkpoint(path: str | Path, *, restore_rng: bool = True) -> Dict[str, Any]:
     """Load a checkpoint; optionally restore host RNG states in place
-    (the reference restores random/np RNGs on resume, __main__.py:283-301)."""
+    (the reference restores random/np RNGs on resume, __main__.py:283-301).
+
+    Tokenizer-asset pickup: a ``spiece.model`` sitting next to the
+    checkpoint (models/convert.py copies it out of the source HF dir) is
+    registered via ``$BIFOLD_SIGLIP_SPM`` (setdefault — an explicit env
+    wins) so the from-scratch sentencepiece tokenizer
+    (data/tokenizers.SpmSiglipTokenizer) tokenizes converted checkpoints
+    with exact pretrained-vocabulary ids instead of the hash fallback."""
+    import os
+    spm_sibling = Path(path).parent / "spiece.model"
+    if spm_sibling.exists():
+        os.environ.setdefault("BIFOLD_SIGLIP_SPM", str(spm_sibling))
     with open(path, "rb") as f:
         payload = pickle.load(f)
     if restore_rng:

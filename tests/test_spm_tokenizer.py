@@ -1,0 +1,185 @@
+"""From-scratch SentencePiece unigram tokenizer (VERDICT r3 missing #1).
+
+A hand-built tiny ``.model`` protobuf fixture (data/spm.serialize_model_proto
+— our own wire-format writer, no sentencepiece lib anywhere) drives the
+parser + Viterbi engine; the SigLIP wrapper is checked against the HF
+SiglipTokenizer preprocessing contract (tokenization_siglip.py): lowercase,
+punctuation strip, ▁-prefix, eos append, </s> padding to 64.
+"""
+
+import numpy as np
+import pytest
+
+from bifold_tpu.data import spm
+from bifold_tpu.data.tokenizers import (SIGLIP_CONTEXT_LENGTH,
+                                        SpmSiglipTokenizer, build_tokenizer,
+                                        siglip_spm_path)
+
+# a tiny unigram vocab in T5/SigLIP layout: pad=0? (siglip: </s> serves as
+# pad), ids: 0 <unk>(UNKNOWN), 1 </s>(CONTROL), then scored pieces
+PIECES = [
+    ("<unk>", 0.0, spm.UNKNOWN),
+    ("</s>", 0.0, spm.CONTROL),
+    ("▁", -3.0, spm.NORMAL),
+    ("▁fold", -1.0, spm.NORMAL),
+    ("▁the", -1.2, spm.NORMAL),
+    ("▁towel", -1.5, spm.NORMAL),
+    ("▁to", -2.0, spm.NORMAL),
+    ("wel", -2.5, spm.NORMAL),
+    ("▁left", -1.4, spm.NORMAL),
+    ("▁right", -1.4, spm.NORMAL),
+    ("▁from", -1.3, spm.NORMAL),
+    ("f", -5.0, spm.NORMAL),
+    ("o", -5.0, spm.NORMAL),
+    ("l", -5.0, spm.NORMAL),
+    ("d", -5.0, spm.NORMAL),
+    ("t", -5.0, spm.NORMAL),
+    ("h", -5.0, spm.NORMAL),
+    ("e", -5.0, spm.NORMAL),
+    ("w", -5.0, spm.NORMAL),
+    ("r", -5.0, spm.NORMAL),
+    ("i", -5.0, spm.NORMAL),
+    ("g", -5.0, spm.NORMAL),
+    ("m", -5.0, spm.NORMAL),
+    ("<", -6.0, spm.NORMAL),
+    (">", -6.0, spm.NORMAL),
+    ("u", -5.0, spm.NORMAL),
+    ("n", -5.0, spm.NORMAL),
+    ("k", -5.0, spm.NORMAL),
+    ("s", -5.0, spm.NORMAL),
+]
+ID = {p: i for i, (p, _, _) in enumerate(PIECES)}
+
+
+@pytest.fixture(scope="module")
+def model_path(tmp_path_factory):
+    blob = spm.serialize_model_proto(PIECES, unk_id=0, eos_id=1)
+    path = tmp_path_factory.mktemp("spm") / "spiece.model"
+    path.write_bytes(blob)
+    return path
+
+
+def test_proto_roundtrip(model_path):
+    m = spm.SentencePieceModel.load(model_path)
+    assert m.vocab_size == len(PIECES)
+    assert m.pieces[3] == ("▁fold", -1.0, spm.NORMAL)
+    assert m.unk_id == 0
+    assert m.add_dummy_prefix and m.escape_whitespaces
+    assert m.normalizer_name == "nmt_nfkc"
+    assert m.piece_to_id("▁towel") == ID["▁towel"]
+    assert m.id_to_piece(1) == "</s>"
+
+
+def test_viterbi_prefers_high_score_segmentation(model_path):
+    m = spm.SentencePieceModel.load(model_path)
+    # "fold the towel": whole-word pieces beat char-level (scores dominate)
+    assert m.encode_pieces("fold the towel") == ["▁fold", "▁the", "▁towel"]
+    # "tow" has no whole piece: best split uses chars after ▁to
+    assert m.encode("fold the towel") == [
+        ID["▁fold"], ID["▁the"], ID["▁towel"]]
+
+
+def test_viterbi_picks_optimal_split(model_path):
+    m = spm.SentencePieceModel.load(model_path)
+    # "▁towel" (-1.5) must beat "▁to"+"wel" (-2.0 + -2.5)
+    assert m.encode_pieces("towel") == ["▁towel"]
+
+
+def test_normalization_rules(model_path):
+    m = spm.SentencePieceModel.load(model_path)
+    # NFKC + whitespace collapse + dummy prefix + ▁ escaping
+    assert m.normalize("fold  the\ttowel ") == "▁fold▁the▁towel"
+    # control chars dropped
+    assert m.normalize("fo\x00ld") == "▁fold"
+    m.add_dummy_prefix = False
+    assert m.normalize("fold the") == "fold▁the"
+
+
+def test_unknown_chars_merge_to_single_unk(model_path):
+    m = spm.SentencePieceModel.load(model_path)
+    ids = m.encode("fold ZZ the")  # Z has no piece
+    # consecutive unknown chars -> ONE unk id (sentencepiece semantics)
+    assert ids == [ID["▁fold"], ID["▁"], m.unk_id, ID["▁the"]]
+
+
+def test_control_pieces_never_match_text(model_path):
+    m = spm.SentencePieceModel.load(model_path)
+    # literal "</s>" in text must NOT produce the control id 1
+    ids = m.encode("</s>")
+    assert 1 not in ids
+
+
+def test_bpe_model_type_rejected():
+    blob = spm.serialize_model_proto(PIECES, model_type=2)
+    with pytest.raises(ValueError, match="unigram"):
+        spm.SentencePieceModel.from_bytes(blob)
+
+
+def test_siglip_wrapper_layout(model_path):
+    tok = SpmSiglipTokenizer(model_path)
+    out = tok("Fold the towel!")
+    assert out.shape == (SIGLIP_CONTEXT_LENGTH,)
+    assert out.dtype == np.int32
+    # lowercased, punctuation stripped, eos appended, </s>(=1) padding
+    ids = [ID["▁fold"], ID["▁the"], ID["▁towel"], 1]
+    assert out[: len(ids)].tolist() == ids
+    assert (out[len(ids):] == 1).all()
+
+
+def test_siglip_wrapper_truncation_keeps_eos(model_path):
+    tok = SpmSiglipTokenizer(model_path)
+    out = tok(" ".join(["fold"] * 100))
+    assert out.shape == (SIGLIP_CONTEXT_LENGTH,)
+    assert out[-1] == 1  # eos survives truncation
+
+
+def test_siglip_wrapper_unk_prefix_chain(model_path):
+    """The HF chain encodes '<unk>'+text and strips len(encode('<unk>'))
+    pieces — whatever that segments to in this vocab, the output must not
+    leak any of it."""
+    tok = SpmSiglipTokenizer(model_path)
+    a = tok("fold the towel")
+    b = tok("fold the towel")
+    np.testing.assert_array_equal(a, b)
+    assert a[0] == ID["▁fold"]
+
+
+def test_build_tokenizer_uses_spm_asset(model_path, monkeypatch):
+    monkeypatch.setenv("BIFOLD_SIGLIP_SPM", str(model_path))
+    assert siglip_spm_path() == model_path
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the hash-fallback warning must NOT fire
+        tok = build_tokenizer(None, autoprocessor_name="google/siglip-base-patch16-384")
+    assert isinstance(tok, SpmSiglipTokenizer)
+    assert tok("fold the towel")[0] == ID["▁fold"]
+
+
+def test_checkpoint_sibling_asset_registers(model_path, tmp_path, monkeypatch):
+    """A spiece.model next to a loaded checkpoint switches tokenization to
+    exact spm ids (the convert.py carry path end-to-end)."""
+    import pickle
+
+    from bifold_tpu.utils.checkpoint import load_checkpoint
+
+    monkeypatch.delenv("BIFOLD_SIGLIP_SPM", raising=False)
+    ckpt = tmp_path / "best.ckpt"
+    with open(ckpt, "wb") as f:
+        pickle.dump({"params": {}}, f)
+    (tmp_path / "spiece.model").write_bytes(model_path.read_bytes())
+    load_checkpoint(ckpt, restore_rng=False)
+    import os
+    assert os.environ["BIFOLD_SIGLIP_SPM"] == str(tmp_path / "spiece.model")
+    tok = build_tokenizer(None, autoprocessor_name="google/siglip")
+    assert isinstance(tok, SpmSiglipTokenizer)
+    monkeypatch.delenv("BIFOLD_SIGLIP_SPM", raising=False)
+
+
+def test_byte_fallback_vocab():
+    pieces = PIECES + [(f"<0x{b:02X}>", -8.0, spm.BYTE) for b in range(256)]
+    blob = spm.serialize_model_proto(pieces, byte_fallback=True)
+    m = spm.SentencePieceModel.from_bytes(blob)
+    ids = m.encode("fold Z")
+    # unknown 'Z' (0x5A) -> its byte piece, not unk
+    assert ids[-1] == len(PIECES) + 0x5A
+    assert m.unk_id not in ids
