@@ -338,9 +338,31 @@ class MoEFeedForward(nn.Module):
             "b2": self.param("b2", nn.initializers.zeros, (e, self.dim)),
         }
         x = x.astype(self.dtype)
-        out, aux = moe_ops.moe_ffn(x, params, top_k=self.top_k,
-                                   capacity_factor=self.capacity_factor,
-                                   return_aux=True)
+        # Expert parallelism: when the active mesh (set by the Trainer /
+        # dryrun via parallel.set_active_mesh) carries an ep axis that
+        # divides experts and tokens, route through the shard_map
+        # all_to_all dispatch/combine path (ops/moe.py expert_parallel_ffn;
+        # exact == dense at top-1/top-2, tests/test_moe.py). Falls back to
+        # the dense one-program path otherwise (init, serving, ep=1).
+        from bifold_tpu import parallel
+
+        ep = parallel.active_axis_size("ep")
+        tokens = int(np.prod(x.shape[:-1]))
+        if (ep > 1 and not self.is_initializing()
+                and e % ep == 0 and tokens % ep == 0):
+            x2 = x.reshape(-1, x.shape[-1])
+            out = moe_ops.expert_parallel_ffn(
+                x2, params, parallel.active_mesh(), top_k=self.top_k,
+                capacity_factor=self.capacity_factor).reshape(x.shape)
+            # load-balance aux from the router alone (dispatch/combine are
+            # unused here and DCE'd by XLA) — same global-batch definition
+            # as the dense path
+            _, _, aux = moe_ops.route(x2, params["router"], top_k=1,
+                                      capacity=1, return_aux=True)
+        else:
+            out, aux = moe_ops.moe_ffn(x, params, top_k=self.top_k,
+                                       capacity_factor=self.capacity_factor,
+                                       return_aux=True)
         self.sow("moe_losses", "load_balance", aux)
         if self.dropout > 0:
             out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
@@ -502,6 +524,79 @@ class Transformer(nn.Module):
             moe_top_k=self.moe_top_k,
             moe_capacity_factor=self.moe_capacity_factor, dtype=self.dtype)
 
+    def _maybe_pipeline(self, x, key_mask, legacy_query_mask, deterministic,
+                        fused_res):
+        """Pipeline-parallel execution (GPipe) of the stack when the active
+        mesh (parallel.set_active_mesh — wired from ``mesh.pp`` in config)
+        carries a ``pp`` axis dividing ``depth``.
+
+        The depth-stacked scan params ARE the stage sharding
+        (parallel/pipeline.py): this method reads the same ``blocks/block``
+        stacked leaves the scan path trains/checkpoints — layout identical
+        either way — and drives :func:`parallel.gpipe` with one
+        TransformerBlock apply per layer. Per-sample attention masks ride
+        the activation carry so each microbatch travels with its own mask.
+        Returns None (caller falls through to the scan/unrolled path) at
+        init time, when pp is off, when depth doesn't divide, or for the
+        fused-residual / MoE wirings (MoE needs the sown aux loss, which a
+        shard_map body cannot sow). Dropout note: per-LAYER rng keys thread
+        through the stacked tree, but microbatches of one layer share a key
+        (masks correlate across microbatches — acceptable statistically,
+        not bit-equal to the scan path; dropout-free configs ARE exact)."""
+        import jax as _jax
+
+        from bifold_tpu import parallel
+
+        pp = parallel.active_axis_size("pp")
+        if (pp <= 1 or not self.scan_layers or self.depth <= 1
+                or self.depth % pp or fused_res or self.moe_experts > 0
+                or self.is_initializing()):
+            return None
+        # masks ride the microbatch carry — they must share x's batch dim
+        # (a broadcast-shaped mask falls back to the scan path)
+        for mask in (key_mask, legacy_query_mask):
+            if mask is not None and mask.shape[0] != x.shape[0]:
+                return None
+        blocks = self.get_variable("params", "blocks")
+        if not blocks or "block" not in blocks:
+            return None
+        stacked = dict(blocks["block"])
+        det = bool(deterministic)
+        needs_rng = (not det
+                     and (self.dropout > 0 or self.lora_dropout > 0)
+                     and self.has_rng("dropout"))
+        if needs_rng:
+            keys = _jax.random.split(self.make_rng("dropout"), self.depth)
+            stacked["__rng"] = _jax.random.key_data(keys)
+
+        # parent=None: used only via functional .apply with explicit params
+        # — must NOT register as a child of this module (name/param clash
+        # with the scan-created "blocks" collection)
+        block = TransformerBlock(**self._block_kwargs(), parent=None)
+
+        def body(p, carry):
+            p = dict(p)
+            rngs = None
+            if "__rng" in p:
+                rngs = {"dropout": _jax.random.wrap_key_data(p.pop("__rng"))}
+            h, km, lqm = carry
+            h = block.apply({"params": p}, h, km, legacy_query_mask=lqm,
+                            deterministic=det, rngs=rngs)
+            return (h, km, lqm)
+
+        if self.remat:
+            body = _jax.checkpoint(body)
+        mesh = parallel.active_mesh()
+        batch = x.shape[0]
+        m = parallel.active_pp_microbatches()
+        if m <= 0:
+            import math
+            m = math.gcd(batch, 2 * pp)  # bubble (pp-1)/(m+pp-1), batch | m
+        out, _, _ = parallel.gpipe(
+            body, stacked, (x, key_mask, legacy_query_mask),
+            mesh=mesh, microbatches=m)
+        return out
+
     @nn.compact
     def __call__(self, x, key_mask=None, *, legacy_query_mask=None, deterministic=True):
         from bifold_tpu.ops.layer_norm import ln_mode
@@ -511,6 +606,10 @@ class Transformer(nn.Module):
         # ride the LayerNorm kernel passes; one add survives at the end.
         # Param/checkpoint layout is IDENTICAL to the standard wiring.
         fused_res = ln_mode() == "fused"
+        pp_out = self._maybe_pipeline(x, key_mask, legacy_query_mask,
+                                      deterministic, fused_res)
+        if pp_out is not None:
+            return pp_out
         if self.scan_layers and self.depth > 1:
             # Unroll policy (BIFOLD_SCAN_UNROLL overrides; read at trace
             # time). The stacked param layout / checkpoint format is

@@ -41,6 +41,15 @@ def _adamw(learning_rate, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.01, **_):
                        weight_decay=weight_decay)
 
 
+@Optimizers.register("sgd")
+def _sgd(learning_rate, momentum=0.0, nesterov=False, **_):
+    # no reference counterpart (it ships Adam/AdamW only) — kept for
+    # sharded-vs-unsharded numerics assertions (Adam's first-step sign(g)
+    # amplifies float noise; CLAUDE.md correctness notes) and completeness
+    return optax.sgd(learning_rate, momentum=momentum or None,
+                     nesterov=nesterov)
+
+
 @Schedulers.register("linear_warmup")
 def _linear_warmup(base_lr: float, max_iters: int, warmup_portion: float = 0.1,
                    warmup_start_lr: float = 0.0, use_cosine_decay: bool = True,

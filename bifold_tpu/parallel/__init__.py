@@ -45,6 +45,9 @@ __all__ = [
     "gpipe",
     "ring_attention",
     "expert_parallel_ffn",
+    "set_active_mesh",
+    "active_mesh",
+    "active_axis_size",
 ]
 
 from bifold_tpu.parallel.pipeline import gpipe  # noqa: E402
@@ -84,6 +87,36 @@ def distributed_init(coordinator_address: Optional[str] = None,
     return True
 
 BATCH_AXES = ("dcn", "dp", "fsdp")  # batch shards over every data axis present
+
+# --- active mesh registry -------------------------------------------------
+# Modules that need the mesh at TRACE time (Transformer's gpipe routing over
+# pp, MoEFeedForward's expert_parallel_ffn over ep) read it from here instead
+# of plumbing a Mesh through every model config. The Trainer (and tests) set
+# it right after make_mesh; None (the default) keeps every model on its
+# single-program path, so serving/eval code that never sets a mesh is
+# unaffected. ``pp_microbatches=0`` auto-picks per call site.
+_ACTIVE: dict = {"mesh": None, "pp_microbatches": 0}
+
+
+def set_active_mesh(mesh: Optional[Mesh], *, pp_microbatches: int = 0):
+    _ACTIVE["mesh"] = mesh
+    _ACTIVE["pp_microbatches"] = int(pp_microbatches)
+
+
+def active_mesh() -> Optional[Mesh]:
+    return _ACTIVE["mesh"]
+
+
+def active_pp_microbatches() -> int:
+    return _ACTIVE["pp_microbatches"]
+
+
+def active_axis_size(name: str) -> int:
+    """Size of ``name`` on the active mesh (1 when absent / no mesh set)."""
+    mesh = _ACTIVE["mesh"]
+    if mesh is None or name not in mesh.axis_names:
+        return 1
+    return int(mesh.shape[name])
 
 
 def _batch_axes(mesh: Mesh) -> tuple:
@@ -186,11 +219,26 @@ def _tp_axis(path_keys, leaf) -> Optional[int]:
     return None
 
 
+# MoE expert-parameter leaf names (ops/moe.py layout): leading axis = expert
+_EP_LEAVES = ("w1", "b1", "w2", "b2")
+
+
 def param_sharding(mesh: Mesh, params: Any, min_size: int = 2**16) -> Any:
     """NamedSharding pytree for params/opt-state: tp-sharded attention/MLP
-    kernels (when ``tp > 1``), fsdp-sharded large leaves, replicated over dp."""
+    kernels (when ``tp > 1``), fsdp-sharded large leaves, replicated over dp.
+
+    With ``pp > 1`` the depth-stacked transformer leaves (under a scanned
+    ``blocks`` collection) shard their leading depth axis over ``pp`` — each
+    pipeline stage stores only its own layers, matching
+    :func:`pipeline.gpipe`'s ``in_specs=P("pp")`` exactly (gpipe is manual
+    over pp alone, so stacked leaves carry no additional tp/fsdp spec).
+    With ``ep > 1`` MoE expert leaves shard their expert axis over ``ep``
+    (axis 0 standalone, axis 1 when depth-stacked), matching
+    :func:`bifold_tpu.ops.moe.expert_parallel_ffn`'s specs."""
     fsdp_size = mesh.shape["fsdp"]
     tp_size = mesh.shape["tp"]
+    pp_size = mesh.shape.get("pp", 1) if "pp" in mesh.axis_names else 1
+    ep_size = mesh.shape.get("ep", 1) if "ep" in mesh.axis_names else 1
 
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     treedef = jax.tree_util.tree_structure(params)
@@ -200,6 +248,24 @@ def param_sharding(mesh: Mesh, params: Any, min_size: int = 2**16) -> Any:
             out.append(NamedSharding(mesh, P()))
             continue
         keys = tuple(str(getattr(k, "key", getattr(k, "idx", ""))) for k in path)
+        stacked = "blocks" in keys and getattr(leaf, "ndim", 0) >= 1
+        if pp_size > 1 and stacked and leaf.shape[0] % pp_size == 0:
+            spec = [None] * leaf.ndim
+            spec[0] = "pp"
+            if (ep_size > 1 and keys and keys[-1] in _EP_LEAVES
+                    and "mlp" in keys and leaf.ndim >= 2
+                    and leaf.shape[1] % ep_size == 0):
+                spec[1] = "ep"
+            out.append(NamedSharding(mesh, P(*spec)))
+            continue
+        if (ep_size > 1 and keys and keys[-1] in _EP_LEAVES
+                and "mlp" in keys):
+            ax = 1 if stacked and leaf.ndim >= 2 else 0
+            if leaf.shape[ax] % ep_size == 0:
+                spec = [None] * leaf.ndim
+                spec[ax] = "ep"
+                out.append(NamedSharding(mesh, P(*spec)))
+                continue
         tp_axis = _tp_axis(keys, leaf) if tp_size > 1 else None
         if tp_axis is not None and leaf.shape[tp_axis] % tp_size == 0:
             # tp-sharded kernels are NOT additionally fsdp-sharded: a weight
@@ -401,6 +467,17 @@ def make_scan_train_step(step: Callable, k: int, *,
             s2, m = step(s, batch if same_batch else xs)
             return s2, m
 
+        if not same_batch:
+            # Shapes are static under jit: fail loudly on a mis-stacked
+            # batch instead of letting lax.scan silently run leading-dim
+            # steps and loss_mean average over the wrong count.
+            for path, leaf in jax.tree_util.tree_flatten_with_path(batch)[0]:
+                if hasattr(leaf, "shape") and leaf.shape[:1] != (k,):
+                    raise ValueError(
+                        f"make_scan_train_step(k={k}): batch leaf "
+                        f"{jax.tree_util.keystr(path)} has leading dim "
+                        f"{leaf.shape[0] if leaf.ndim else None}, expected "
+                        f"{k} stacked micro-step batches")
         xs = None if same_batch else batch
         state, ms = jax.lax.scan(body, state, xs, length=k if same_batch
                                  else None)

@@ -44,19 +44,23 @@ def _stage_slice_tree(params: Any) -> None:
         raise ValueError("gpipe: empty stage_params")
 
 
-def gpipe(body: Callable[[Any, jnp.ndarray], jnp.ndarray],
+def gpipe(body: Callable[[Any, Any], Any],
           stacked_params: Any,
-          x: jnp.ndarray,
+          x: Any,
           *,
           mesh: Mesh,
           axis: str = "pp",
           microbatches: int,
-          check_vma: bool = False) -> jnp.ndarray:
+          check_vma: bool = False) -> Any:
     """Run ``depth`` layers over ``x`` as a ``pp``-stage microbatch pipeline.
 
     ``body(layer_params, h) -> h`` applies ONE layer: ``layer_params`` is the
     per-layer slice of ``stacked_params`` (leading ``depth`` axis removed),
-    ``h`` a ``[microbatch, ...]`` activation. The caller closes over
+    ``h`` a ``[microbatch, ...]`` activation — a single array or a pytree
+    whose leaves all share the leading batch dim (per-sample side inputs
+    like attention masks ride the carry through the pipe with their
+    microbatch; ``body`` returns the same structure, passing them through).
+    The caller closes over
     broadcast operands (masks) and rng handling; wrap ``body`` in
     ``jax.checkpoint`` for per-layer remat.
 
@@ -87,16 +91,33 @@ def gpipe(body: Callable[[Any, jnp.ndarray], jnp.ndarray],
     pp = mesh.shape[axis]
     if depth % pp:
         raise ValueError(f"gpipe: depth {depth} not divisible by {axis}={pp}")
-    batch = x.shape[0]
+    x_leaves = jax.tree_util.tree_leaves(x)
+    batch = x_leaves[0].shape[0]
+    if any(l.shape[0] != batch for l in x_leaves):
+        raise ValueError("gpipe: all activation leaves must share the "
+                         f"leading batch dim, got "
+                         f"{[l.shape for l in x_leaves]}")
     m = int(microbatches)
     if batch % m:
         raise ValueError(f"gpipe: batch {batch} not divisible by "
                          f"microbatches={m}")
-    xs = x.reshape(m, batch // m, *x.shape[1:])
+    tmap = jax.tree_util.tree_map
+    xs = tmap(lambda l: l.reshape(m, batch // m, *l.shape[1:]), x)
     ticks = m + pp - 1
     perm = [(i, i + 1) for i in range(pp - 1)]
 
+    # 16-bit float activations cross the shard_map boundary as f32 and are
+    # cast back inside (exact: a widening cast, and their AD cotangent psum
+    # has a single nonzero contributor — only stage 0 consumes xs). Reason:
+    # XLA:CPU's AllReducePromotion pass CHECK-fails on bf16 all-reduces
+    # ("Invalid binary instruction opcode copy"), and the transpose of a
+    # replicated shard_map input IS a psum over pp.
+    orig_dtypes = tmap(lambda l: l.dtype, xs)
+    _wide = (jnp.bfloat16, jnp.float16)
+    xs = tmap(lambda l: l.astype(jnp.float32) if l.dtype in _wide else l, xs)
+
     def per_stage(p_local, xs_rep):
+        xs_rep = tmap(lambda l, d: l.astype(d), xs_rep, orig_dtypes)
         stage = jax.lax.axis_index(axis)
 
         def local_layers(h):
@@ -107,22 +128,42 @@ def gpipe(body: Callable[[Any, jnp.ndarray], jnp.ndarray],
 
         def tick(carry, t):
             held, out = carry
-            inp = jnp.where(stage == 0, xs_rep[jnp.minimum(t, m - 1)], held)
+            inp = tmap(
+                lambda xr, hd: jnp.where(stage == 0,
+                                         xr[jnp.minimum(t, m - 1)], hd),
+                xs_rep, held)
             y = local_layers(inp)
             # last stage banks microbatch t-(pp-1) once the pipe has filled
             slot = t - (pp - 1)
             valid = jnp.logical_and(stage == pp - 1, slot >= 0)
-            idx = (jnp.clip(slot, 0, m - 1),) + (0,) * (out.ndim - 1)
-            banked = jax.lax.dynamic_update_slice(out, y[None].astype(out.dtype), idx)
-            out = jnp.where(valid, banked, out)
-            recv = jax.lax.ppermute(y, axis, perm) if perm else y
+
+            def bank(o, yy):
+                idx = (jnp.clip(slot, 0, m - 1),) + (0,) * (o.ndim - 1)
+                banked = jax.lax.dynamic_update_slice(
+                    o, yy[None].astype(o.dtype), idx)
+                return jnp.where(valid, banked, o)
+
+            out = tmap(bank, out, y)
+            recv = (tmap(lambda yy: jax.lax.ppermute(yy, axis, perm), y)
+                    if perm else y)
             return (recv, out), None
 
-        out0 = jnp.zeros(xs_rep.shape, x.dtype)
-        (_, out), _ = jax.lax.scan(
-            tick, (jnp.zeros_like(xs_rep[0]), out0), jnp.arange(ticks))
-        # zeros on every stage but the last; psum replicates the real output
-        return jax.lax.psum(out, axis) if pp > 1 else out
+        out0 = tmap(jnp.zeros_like, xs_rep)
+        held0 = tmap(lambda xr: jnp.zeros_like(xr[0]), xs_rep)
+        (_, out), _ = jax.lax.scan(tick, (held0, out0), jnp.arange(ticks))
+
+        def replicate(o):
+            # zeros on every stage but the last; psum replicates the real
+            # output. 16-bit floats ride f32 (exact: one nonzero
+            # contributor) — XLA:CPU's AllReducePromotion pass CHECK-fails
+            # cloning a bf16 all-reduce ("Invalid binary instruction opcode
+            # copy"); TPU handles bf16 all-reduce natively either way.
+            if o.dtype in (jnp.bfloat16, jnp.float16):
+                return jax.lax.psum(o.astype(jnp.float32),
+                                    axis).astype(o.dtype)
+            return jax.lax.psum(o, axis)
+
+        return tmap(replicate, out) if pp > 1 else out
 
     mapped = jax.shard_map(
         per_stage,
@@ -133,4 +174,4 @@ def gpipe(body: Callable[[Any, jnp.ndarray], jnp.ndarray],
         check_vma=check_vma,
     )
     out = mapped(stacked_params, xs)
-    return out.reshape(batch, *x.shape[1:])
+    return tmap(lambda l: l.reshape(batch, *l.shape[2:]), out)

@@ -76,7 +76,12 @@ class Trainer:
         save_config(cfg, self.run_dir / "config.yaml")
 
         self.key = seed_randomness(int(cfg["seed"]))
-        self.mesh = parallel.make_mesh(dict(cfg.get("mesh", {})))
+        mesh_cfg = dict(cfg.get("mesh", {}))
+        pp_microbatches = int(mesh_cfg.pop("pp_microbatches", 0) or 0)
+        self.mesh = parallel.make_mesh(mesh_cfg)
+        # models read pp/ep routing (gpipe, expert_parallel_ffn) from the
+        # active mesh at trace time — set before any step is traced
+        parallel.set_active_mesh(self.mesh, pp_microbatches=pp_microbatches)
         self.writer = Writer(self.run_dir, use_wandb=bool(cfg.get("use_wandb")),
                              group=str(dict(cfg["train_dataset"]).get("name")),
                              name=run_name,
@@ -452,9 +457,12 @@ class Trainer:
                 a, nd = pending.pop(0)
                 running += float(a) * nd
             n_steps += n_done
+            # host_batches hold this PROCESS's slice; the device batch is
+            # global, so scale by process_count for an honest samples/sec.
             samples += int(host_batches[0][next(
                 kk for kk, vv in host_batches[0].items()
-                if hasattr(vv, "shape"))].shape[0]) * n_done
+                if hasattr(vv, "shape"))].shape[0]) * n_done \
+                * jax.process_count()
             prev_global = self.global_step
             self.global_step += n_done
             self._step_in_epoch = start + n_steps

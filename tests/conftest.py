@@ -46,6 +46,16 @@ if (_CSRC / "Makefile").exists():
                    timeout=300, check=False)
 
 
+@pytest.fixture(autouse=True)
+def _reset_active_mesh():
+    """parallel.set_active_mesh is process-global (Trainer sets it); reset
+    after every test so a pp/ep mesh can't leak into unrelated tests."""
+    yield
+    from bifold_tpu import parallel
+
+    parallel.set_active_mesh(None)
+
+
 @pytest.fixture(scope="session")
 def devices():
     devs = jax.devices()
