@@ -94,19 +94,37 @@ def _flagship(batch: int, image_size: int = 384, context: int = 3):
 
 
 def bench_train(batch: int, steps: int = 10, warmup: int = 2):
+    import os
+
     import jax
+    import jax.numpy as jnp
+
+    from bifold_tpu import parallel
 
     (model, proc, raw, device_batch, params, opt_state,
      step) = _flagship(batch)
+    # steps_per_dispatch: fuse k steps into ONE lax.scan program (the
+    # shipped trainer path, conf/config.yaml steps_per_dispatch) — measured
+    # 84.6 -> 81.7 ms/step at k=8 (BENCH_NOTES.md scan_steps_ab), numerics
+    # bit-identical to k dispatched steps. Benched through the REAL stacked
+    # path (k stacked micro-batches, one transfer), not same_batch.
+    scan_k = int(os.environ.get("BIFOLD_BENCH_SCAN_K", 8))
     state = (params, opt_state, {}, jax.random.key(0))
+    if scan_k > 1:
+        multi = parallel.make_scan_train_step(step, scan_k, donate=True)
+        stacked = {k: jnp.broadcast_to(v[None], (scan_k,) + v.shape)
+                   for k, v in device_batch.items()}
+        run, n_dispatch, run_batch = multi, max(2, -(-steps // scan_k)), stacked
+    else:
+        run, n_dispatch, run_batch = step, steps, device_batch
     for i in range(warmup):
-        state, metrics = step(state, device_batch)
+        state, metrics = run(state, run_batch)
     float(metrics["loss"])  # host readback = true synchronization barrier
     t0 = time.time()
-    for i in range(steps):
-        state, metrics = step(state, device_batch)
+    for i in range(n_dispatch):
+        state, metrics = run(state, run_batch)
     loss = float(metrics["loss"])  # block_until_ready alone can return early
-    dt = (time.time() - t0) / steps  # over a tunneled runtime
+    dt = (time.time() - t0) / (n_dispatch * scan_k)  # per-step, tunneled
 
     # XLA's own FLOP count for the compiled step -> MFU accounting
     # (VERDICT r2: the "roofline-bound" claim must be checkable). lower()

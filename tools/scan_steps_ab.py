@@ -42,7 +42,7 @@ def main():
     from bifold_tpu import parallel
 
     results = {}
-    for k in ks:
+    for i, k in enumerate(ks):
         if k == 1:
             fn, n_dispatch = step, 10
         else:
@@ -62,9 +62,12 @@ def main():
         print(f"k={k:2d}: {dt_ms:7.2f} ms/step "
               f"({2.0 / (dt_ms / 1e3):.2f} samples/s, loss {loss:.4f}, "
               f"{n_dispatch} dispatches)", flush=True)
-        # state buffers were donated into fn; rebuild fresh state next arm
-        (model, proc, raw, device_batch, params, opt_state,
-         step) = bench._flagship(2)
+        # state buffers were donated into fn; rebuild fresh state for the
+        # next arm (skip after the last — the jitted init costs minutes
+        # over the tunnel).
+        if i + 1 < len(ks):
+            (model, proc, raw, device_batch, params, opt_state,
+             step) = bench._flagship(2)
 
     base = results.get(1)
     if base:
