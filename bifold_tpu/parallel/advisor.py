@@ -197,6 +197,11 @@ def analyze_layout(mesh_cfg: dict, *, batch: int = 8,
     devices = list(devices if devices is not None else jax.devices())
     mesh = parallel.make_mesh(dict(mesh_cfg), devices=devices)
     n_devices = mesh.devices.size
+    # pp/ep layouts route through gpipe / expert_parallel_ffn at trace time
+    # via the active-mesh registry (exactly what the Trainer sets) — so the
+    # analyzed program IS the pipelined/expert-parallel one, not the dense
+    # single-program fallback
+    parallel.set_active_mesh(mesh)
 
     saved = {k: os.environ.get(k)
              for k in ("BIFOLD_ATTN_BACKEND", "BIFOLD_FLASH_INTERPRET",
@@ -310,6 +315,7 @@ def analyze_layout(mesh_cfg: dict, *, batch: int = 8,
             "est": est,
         }
     finally:
+        parallel.set_active_mesh(None)
         for k, v in saved.items():
             if v is None:
                 os.environ.pop(k, None)

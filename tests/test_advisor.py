@@ -96,3 +96,44 @@ def test_analyze_layout_fsdp_shards_params(reports):
 def test_scale_report_sorted(reports):
     vals = [r["est"]["step_ms_lower_bound"] for r in reports.values()]
     assert all(v > 0 for v in vals)
+
+
+def test_advise_cli_ranks_and_recommends(capsys):
+    """VERDICT r3 item 6: the advisor is reachable from the CLI surface
+    (``python -m bifold_tpu advise``) — tiny geometry, 4 virtual devices."""
+    from bifold_tpu.__main__ import main
+
+    rc = main([
+        "advise", "dp=4", "dp=2,fsdp=2", "n_devices=4",
+        "model=siglip_sequential", "model.automodel_name=tiny",
+        "model.dim=64", "model.depth=2", "model.heads=4", "model.r=4",
+        "train_dataset.image_size=32", "train_dataset.is_bimanual=true",
+        "train_dataset.max_context_length=2", "batch_size=8",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "FAILED" not in out
+    assert out.count("ms/step") >= 2  # both layouts ranked
+    assert "recommended: mesh." in out
+
+
+def test_advise_cli_pp_layout_pipelines(capsys):
+    """A pp layout analyzed through the CLI routes the REAL gpipe program:
+    collective-permutes appear in its compiled traffic."""
+    from bifold_tpu.__main__ import main
+
+    rc = main([
+        "advise", "dp=2,pp=2", "n_devices=4", "--json",
+        "model=siglip_sequential", "model.automodel_name=tiny",
+        "model.dim=64", "model.depth=2", "model.heads=4", "model.r=4",
+        "train_dataset.image_size=32", "train_dataset.is_bimanual=true",
+        "train_dataset.max_context_length=2", "batch_size=8",
+    ])
+    import json
+
+    out = capsys.readouterr().out
+    assert rc == 0
+    reports = json.loads(out.splitlines()[-1])
+    (r,) = reports
+    assert "error" not in r, r
+    assert "collective-permute" in r["collectives"], r["collectives"]
