@@ -26,9 +26,107 @@ import numpy as np
 
 from bifold_tpu.env.native import load_native
 
-__all__ = ["ClothSim", "grid_cloth", "load_obj", "DEFAULT_CAMERA", "FAR_DEPTH"]
+__all__ = ["ClothSim", "ParticleSim", "grid_cloth", "load_obj",
+           "DEFAULT_CAMERA", "FAR_DEPTH", "make_phase",
+           "PHASE_GROUP_MASK", "PHASE_SELF_COLLIDE",
+           "PHASE_SELF_COLLIDE_FILTER", "PHASE_FLUID"]
 
 FAR_DEPTH = _FAR_DEPTH = 2.0
+
+# Particle phase encoding (the API contract of FleX's NvFlexMakePhase /
+# pyflex get_phases/set_phases, pyflex.cpp:1159-1162): collision group in
+# the low bits, behavior flags above. Semantics here: particles in
+# DIFFERENT groups always collide; particles in the SAME group collide only
+# when both carry SELF_COLLIDE, and the rest-distance filter (mesh
+# neighbors never repel) applies when both carry SELF_COLLIDE_FILTER.
+# FLUID marks particles integrated by the PBF density solver instead of
+# distance constraints.
+PHASE_GROUP_MASK = 0x00FFFFFF
+PHASE_SELF_COLLIDE = 1 << 24
+PHASE_SELF_COLLIDE_FILTER = 1 << 25
+PHASE_FLUID = 1 << 26
+
+# kinematic collider shape types (shape_types entries)
+SHAPE_SPHERE, SHAPE_BOX, SHAPE_CAPSULE = 0, 1, 2
+
+
+def make_phase(group: int, self_collide: bool = True,
+               self_collide_filter: bool = True, fluid: bool = False) -> int:
+    """NvFlexMakePhase equivalent: pack a collision group + behavior flags."""
+    p = group & PHASE_GROUP_MASK
+    if self_collide:
+        p |= PHASE_SELF_COLLIDE
+    if self_collide_filter:
+        p |= PHASE_SELF_COLLIDE_FILTER
+    if fluid:
+        p |= PHASE_FLUID
+    return p
+
+
+def _quat_rotate(q: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Rotate vectors v (.., 3) by quaternion q = (w, x, y, z)."""
+    return v @ _quat_to_mat(np.asarray(q, np.float64)).T
+
+
+def _extract_rotation(a: np.ndarray, q: np.ndarray,
+                      max_iter: int = 20) -> np.ndarray:
+    """Rotational part of a 3x3 deformation matrix by warm-started
+    quaternion iteration (Mueller et al. 2016, "A robust method to extract
+    the rotational part of deformations") — the same update is implemented
+    operation-for-operation in csrc/bifold_sim.cpp so the two backends
+    agree. q = (w, x, y, z) warm start, updated in place; returns R."""
+    for _ in range(max_iter):
+        r = _quat_to_mat(q)
+        # omega = (sum_k cross(R[:,k], A[:,k])) / (|sum_k dot(R[:,k], A[:,k])| + eps)
+        num = (np.cross(r[:, 0], a[:, 0]) + np.cross(r[:, 1], a[:, 1])
+               + np.cross(r[:, 2], a[:, 2]))
+        den = abs(float(r[:, 0] @ a[:, 0] + r[:, 1] @ a[:, 1]
+                        + r[:, 2] @ a[:, 2])) + 1e-9
+        omega = num / den
+        ang = float(np.sqrt(omega @ omega))
+        if ang < 1e-9:
+            break
+        axis = omega / ang
+        half = 0.5 * ang
+        dq = np.array([np.cos(half), *(np.sin(half) * axis)])
+        q[:] = _quat_mul(dq, q)
+        q /= np.sqrt(q @ q)
+    return _quat_to_mat(q)
+
+
+def _quat_to_mat(q: np.ndarray) -> np.ndarray:
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def _quat_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return np.array([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ])
+
+
+def _poly6(r2, h: float):
+    """SPH poly6 kernel W(r) on squared distances (PBF density)."""
+    h2 = h * h
+    c = 315.0 / (64.0 * np.pi * h ** 9)
+    d = np.maximum(h2 - r2, 0.0)
+    return c * d * d * d
+
+
+def _spiky_grad_coeff(r, h: float):
+    """|gradW_spiky|(r)/r so grad = coeff * (pi - pj); guarded near r=0."""
+    c = -45.0 / (np.pi * h ** 6)
+    d = np.maximum(h - r, 0.0)
+    return c * d * d / np.maximum(r, 1e-9)
 
 DEFAULT_CAMERA = {
     "pos": np.array([0.0, 0.65, 0.0]),
@@ -166,6 +264,28 @@ class ClothSim:
         self.shape_states = np.zeros((0, 14), np.float32)
         self.shape_radii = np.zeros((0,), np.float32)
         self.colors = np.zeros((0, 3), np.float32)
+        self.valence = np.zeros((0,), np.float32)
+        # pyflex-parity particle/shape state beyond cloth (scenes.py):
+        # phases (collision groups + flags), typed kinematic colliders,
+        # shape-matching rigid bodies, PBF fluid parameters, scene bounds
+        self.phases = np.zeros((0,), np.int32)
+        self.shape_types = np.zeros((0,), np.int32)     # SHAPE_* per collider
+        self.shape_params = np.zeros((0, 3), np.float32)
+        self.shape_colors = np.zeros((0, 3), np.float32)
+        self.rigid_offsets = np.zeros((1,), np.int64)
+        self.rigid_indices = np.zeros((0,), np.int64)
+        self.rigid_locals = np.zeros((0, 3), np.float32)
+        self.rigid_stiffness = np.zeros((0,), np.float32)
+        self.rigid_quats = np.zeros((0, 4), np.float64)   # warm starts (w,x,y,z)
+        self.rigid_rotations = np.zeros((0, 3, 3), np.float32)
+        self.rigid_translations = np.zeros((0, 3), np.float32)
+        self.fluid_rest_density = 0.0
+        self.fluid_h = 0.0         # smoothing radius; 0 = no fluid solve
+        self.fluid_scorr_k = 0.0   # PBF artificial-pressure strength (off:
+        # anti-clustering comes from the rest-distance separation pass; the
+        # s_corr term is dimensionally unstable at these particle scales)
+        self.bounds_lo: Optional[np.ndarray] = None
+        self.bounds_hi: Optional[np.ndarray] = None
 
     def set_cloth(self, vertices: np.ndarray, faces: np.ndarray, *,
                   mass: float = 0.5, stretch: float = 0.9,
@@ -201,19 +321,238 @@ class ClothSim:
         self.valence = np.maximum(valence, 1).astype(np.float32)
         self.colors = np.tile(np.asarray(color, np.float32), (n, 1))
 
-    def add_sphere(self, radius: float, pos, quat=(1.0, 0.0, 0.0, 0.0)):
+    def clear(self):
+        """Reset every particle/constraint/shape buffer (pyflex ``clean``)."""
+        self._clear()
+
+    def set_particles(self, positions, inv_mass, *, edges=None,
+                      rest_lengths=None, stiffness=None, faces=None,
+                      rest_positions=None, phases=None, colors=None,
+                      color=(0.55, 0.6, 0.9)):
+        """Install an arbitrary particle system (the generic core behind the
+        rope/softbody/torus/rigid/fluid scenes in env/scenes.py — the
+        counterpart of the reference's non-cloth FleX demo scenes,
+        softgym_scenes/*.h). ``edges`` are distance constraints; rigid
+        bodies and fluids are configured afterwards with add_rigid_body /
+        set_fluid_params + FLUID phases."""
+        positions = np.asarray(positions, np.float32).reshape(-1, 3)
+        n = len(positions)
+        inv_mass = np.broadcast_to(
+            np.asarray(inv_mass, np.float32), (n,)).astype(np.float32)
+        self.rest_positions = (positions.copy() if rest_positions is None
+                               else np.asarray(rest_positions, np.float32))
+        self.positions = np.concatenate(
+            [positions, inv_mass[:, None]], axis=1).astype(np.float32)
+        self.velocities = np.zeros((n, 3), np.float32)
+        self.faces = (np.zeros((0, 3), np.int64) if faces is None
+                      else np.asarray(faces, np.int64))
+        self.edges = (np.zeros((0, 2), np.int64) if edges is None
+                      else np.asarray(edges, np.int64).reshape(-1, 2))
+        if rest_lengths is None:
+            d = positions[self.edges[:, 0]] - positions[self.edges[:, 1]]
+            rest_lengths = np.linalg.norm(d, axis=1)
+        self.rest_lengths = np.asarray(rest_lengths, np.float32)
+        if stiffness is None:
+            stiffness = np.ones(len(self.edges), np.float32)
+        self.stretch_stiffness = np.broadcast_to(
+            np.asarray(stiffness, np.float32),
+            (len(self.edges),)).astype(np.float32)
+        valence = np.zeros(n, np.int64)
+        np.add.at(valence, self.edges.reshape(-1), 1)
+        self.valence = np.maximum(valence, 1).astype(np.float32)
+        self.phases = (np.zeros((0,), np.int32) if phases is None
+                       else np.broadcast_to(np.asarray(phases, np.int32),
+                                            (n,)).astype(np.int32))
+        if colors is None:
+            colors = np.tile(np.asarray(color, np.float32), (n, 1))
+        self.colors = np.asarray(colors, np.float32).reshape(n, 3)
+        self.rigid_offsets = np.zeros((1,), np.int64)
+        self.rigid_indices = np.zeros((0,), np.int64)
+        self.rigid_locals = np.zeros((0, 3), np.float32)
+        self.rigid_stiffness = np.zeros((0,), np.float32)
+        self.rigid_quats = np.zeros((0, 4), np.float64)
+        self.rigid_rotations = np.zeros((0, 3, 3), np.float32)
+        self.rigid_translations = np.zeros((0, 3), np.float32)
+        self.fluid_h = 0.0
+
+    def _add_shape(self, shape_type: int, params, pos, quat,
+                   color=(0.6, 0.6, 0.6)):
         state = np.zeros((1, 14), np.float32)
         state[0, :3] = pos
         state[0, 3:6] = pos
         state[0, 6:10] = quat
         state[0, 10:14] = quat
         self.shape_states = np.concatenate([self.shape_states, state])
+        p = np.zeros((1, 3), np.float32)
+        p[0, :len(params)] = params
+        self.shape_params = np.concatenate([self.shape_params, p])
+        self.shape_types = np.concatenate(
+            [self.shape_types, np.asarray([shape_type], np.int32)])
+        # shape_radii stays the sphere-compat view (legacy C ABI + pickers)
         self.shape_radii = np.concatenate(
-            [self.shape_radii, np.asarray([radius], np.float32)])
+            [self.shape_radii, np.asarray([params[0]], np.float32)])
+        self.shape_colors = np.concatenate(
+            [self.shape_colors,
+             np.asarray(color, np.float32).reshape(1, 3)])
+
+    def add_sphere(self, radius: float, pos, quat=(1.0, 0.0, 0.0, 0.0)):
+        self._add_shape(SHAPE_SPHERE, [radius], pos, quat)
+
+    def add_box(self, half_extents, pos, quat=(1.0, 0.0, 0.0, 0.0),
+                trigger: int = 0):
+        """Kinematic box collider (pyflex add_box, pyflex.cpp:1143-1148).
+        ``trigger`` boxes are ignored by the solver (FleX trigger shapes
+        report overlap only; we keep the argument for API parity)."""
+        self._add_shape(SHAPE_BOX if not trigger else -1,
+                        list(half_extents), pos, quat)
+
+    def add_capsule(self, radius: float, half_length: float, pos,
+                    quat=(1.0, 0.0, 0.0, 0.0)):
+        """Kinematic capsule collider along its local x axis (pyflex
+        add_capsule)."""
+        self._add_shape(SHAPE_CAPSULE, [radius, half_length], pos, quat)
+
+    def pop_box(self, num: int = 1):
+        """Remove the last ``num`` shapes (pyflex pop_box)."""
+        keep = max(len(self.shape_types) - num, 0)
+        self.shape_states = self.shape_states[:keep]
+        self.shape_types = self.shape_types[:keep]
+        self.shape_params = self.shape_params[:keep]
+        self.shape_radii = self.shape_radii[:keep]
+        self.shape_colors = self.shape_colors[:keep]
+
+    def clear_shapes(self):
+        self.pop_box(len(self.shape_types))
+
+    def set_shape_color(self, color, index: int = -1):
+        """Display color of a collider shape (pyflex set_shape_color)."""
+        if len(self.shape_colors):
+            self.shape_colors[index] = np.asarray(color, np.float32)
+
+    # -- rigid bodies (FleX shape-matching clusters; pyflex get_rigid*) ----
+
+    def add_rigid_body(self, indices, stiffness: float = 1.0):
+        """Register particles [indices] as one shape-matching rigid cluster
+        (pyflex add_rigid_body / the rigidOffsets//rigidLocalPositions
+        buffers). Local coords are taken about the CURRENT center of mass."""
+        indices = np.asarray(indices, np.int64).reshape(-1)
+        pos = self.positions[indices, :3].astype(np.float64)
+        inv_m = self.positions[indices, 3].astype(np.float64)
+        w = np.where(inv_m > 0, 1.0 / np.maximum(inv_m, 1e-12), 0.0)
+        if w.sum() <= 0:
+            w = np.ones_like(w)
+        com = (pos * w[:, None]).sum(0) / w.sum()
+        self.rigid_offsets = np.concatenate(
+            [self.rigid_offsets,
+             [self.rigid_offsets[-1] + len(indices)]]).astype(np.int64)
+        self.rigid_indices = np.concatenate([self.rigid_indices, indices])
+        self.rigid_locals = np.concatenate(
+            [self.rigid_locals, (pos - com).astype(np.float32)])
+        self.rigid_stiffness = np.concatenate(
+            [self.rigid_stiffness, np.asarray([stiffness], np.float32)])
+        self.rigid_quats = np.concatenate(
+            [self.rigid_quats, np.array([[1.0, 0.0, 0.0, 0.0]])])
+        self.rigid_rotations = np.concatenate(
+            [self.rigid_rotations, np.eye(3, dtype=np.float32)[None]])
+        self.rigid_translations = np.concatenate(
+            [self.rigid_translations, com.astype(np.float32)[None]])
+
+    def get_n_rigids(self) -> int:
+        return len(self.rigid_offsets) - 1
+
+    def get_n_rigid_positions(self) -> int:
+        return len(self.rigid_indices)
+
+    def get_rigid_offsets(self) -> np.ndarray:
+        return self.rigid_offsets.copy()
+
+    def get_rigid_indices(self) -> np.ndarray:
+        return self.rigid_indices.copy()
+
+    def get_rigid_local_positions(self) -> np.ndarray:
+        return self.rigid_locals.copy()
+
+    def get_rigid_global_positions(self) -> np.ndarray:
+        return self.positions[self.rigid_indices, :3].copy()
+
+    def get_rigid_rotations(self) -> np.ndarray:
+        return self.rigid_rotations.copy()
+
+    def get_rigid_translations(self) -> np.ndarray:
+        return self.rigid_translations.copy()
+
+    # -- fluids (PBF density solver over FLUID-phase particles) ------------
+
+    def set_fluid_params(self, smoothing_h: float,
+                         rest_density: Optional[float] = None,
+                         scorr_k: float = 0.0):
+        """Enable the position-based-fluids solve for FLUID-phase particles.
+        ``rest_density`` defaults to the density of a cubic lattice at
+        spacing h/2 (the scenes' emission spacing), computed with the same
+        poly6 kernel the solver uses. ``scorr_k`` (PBF artificial pressure)
+        defaults OFF: anti-clustering is handled by separating fluid pairs
+        at the fluid rest distance instead (FleX's own
+        fluidRestDistance-as-collision-distance approach) — the s_corr term
+        blows up at near-contact at these particle scales (measured: one
+        close pair ejects particles hundreds of meters)."""
+        self.fluid_h = float(smoothing_h)
+        self.fluid_scorr_k = float(scorr_k)
+        if rest_density is None:
+            spacing = smoothing_h / 2.0
+            grid = np.mgrid[-2:3, -2:3, -2:3].reshape(3, -1).T * spacing
+            r2 = (grid * grid).sum(1)
+            rest_density = float(_poly6(r2, smoothing_h).sum())
+        self.fluid_rest_density = float(rest_density)
+
+    def fluid_rest_distance_target(self) -> float:
+        """Fluid-fluid separation distance: the emission lattice spacing
+        (h/2) when the PBF solve is enabled, else 0 (no effect on the
+        non-fluid separation distance)."""
+        return 0.5 * self.fluid_h if self.fluid_h > 0 else 0.0
+
+    def set_scene_bounds(self, lo, hi):
+        """Axis-aligned container walls (pyflex get_scene_lower/upper)."""
+        self.bounds_lo = np.asarray(lo, np.float32)
+        self.bounds_hi = np.asarray(hi, np.float32)
+
+    def get_scene_lower(self) -> Optional[np.ndarray]:
+        return None if self.bounds_lo is None else self.bounds_lo.copy()
+
+    def get_scene_upper(self) -> Optional[np.ndarray]:
+        return None if self.bounds_hi is None else self.bounds_hi.copy()
 
     # ------------------------------------------------------------------
     # pyflex-style state I/O (softgym caches round-trip through these)
     # ------------------------------------------------------------------
+
+    def get_n_particles(self) -> int:
+        return len(self.positions)
+
+    def get_n_shapes(self) -> int:
+        return len(self.shape_states)
+
+    def get_rest_positions(self) -> np.ndarray:
+        return self.rest_positions.copy()
+
+    def get_phases(self) -> np.ndarray:
+        """Per-particle phases; the empty buffer means every particle holds
+        the cloth default (group 0, self-collide + filter)."""
+        if len(self.phases) == len(self.positions):
+            return self.phases.copy()
+        return np.full(len(self.positions),
+                       make_phase(0, True, True), np.int32)
+
+    def set_phases(self, phases) -> None:
+        self.phases = np.asarray(phases, np.int32).reshape(-1).copy()
+
+    def get_groups(self) -> np.ndarray:
+        return (self.get_phases() & PHASE_GROUP_MASK).astype(np.int32)
+
+    def set_groups(self, groups) -> None:
+        ph = self.get_phases()
+        ph = (ph & ~PHASE_GROUP_MASK) | (np.asarray(groups, np.int32)
+                                         & PHASE_GROUP_MASK)
+        self.phases = ph.astype(np.int32)
 
     def get_positions(self) -> np.ndarray:
         return self.positions.copy()
@@ -241,10 +580,269 @@ class ClothSim:
     # Dynamics
     # ------------------------------------------------------------------
 
+    def _uses_extended_features(self) -> bool:
+        """Scenes beyond plain cloth: explicit phases, rigid bodies, fluids,
+        non-sphere colliders, or container bounds. The legacy cloth path is
+        kept byte-for-byte so existing trajectories never change."""
+        return (len(self.phases) == len(self.positions) != 0
+                or self.get_n_rigids() > 0
+                or self.fluid_h > 0
+                or bool((self.shape_types != SHAPE_SPHERE).any())
+                or self.bounds_lo is not None)
+
     def step(self) -> None:
+        if self._uses_extended_features():
+            if self._native is not None and self._native.step_ext(self):
+                return
+            self._step_numpy_ext()
+            return
         if self._native is not None and self._native.step(self):
             return
         self._step_numpy()
+
+    def _step_numpy_ext(self) -> None:
+        """Extended XPBD step: distance constraints + phase-aware particle
+        separation + PBF fluid density constraints (Macklin & Mueller 2013,
+        the algorithm class behind FleX's fluid solver) + shape-matching
+        rigid clusters (Mueller et al. shape matching — FleX's rigid/
+        softbody mechanism) + typed kinematic colliders + container walls.
+        Mirrored operation-for-operation by bifold_step2 in
+        csrc/bifold_sim.cpp."""
+        n = len(self.positions)
+        if n == 0:
+            return
+        h = self.dt / self.substeps
+        pos = self.positions[:, :3].astype(np.float64)
+        inv_m = self.positions[:, 3].astype(np.float64)
+        vel = self.velocities.astype(np.float64)
+        free = inv_m > 0
+
+        i0 = self.edges[:, 0]
+        i1 = self.edges[:, 1]
+        w0 = inv_m[i0]
+        w1 = inv_m[i1]
+        wsum = w0 + w1
+        k = self.stretch_stiffness.astype(np.float64)
+        rest = self.rest_lengths.astype(np.float64)
+        active = wsum > 0
+        valence = getattr(self, "valence", np.ones(n, np.float32)).astype(np.float64)
+
+        phases = self.get_phases().astype(np.int64)
+        groups = phases & PHASE_GROUP_MASK
+        selfc = (phases & PHASE_SELF_COLLIDE) != 0
+        filt = (phases & PHASE_SELF_COLLIDE_FILTER) != 0
+        is_fluid = (phases & PHASE_FLUID) != 0
+
+        d0 = float(self.self_collision_dist)
+        use_sep = self.self_collision
+        rest_pos = (self.rest_positions.astype(np.float64)
+                    if len(self.rest_positions) == n else None)
+
+        fh = float(self.fluid_h)
+        use_fluid = fh > 0 and bool(is_fluid.any())
+        if use_fluid:
+            rho0 = float(self.fluid_rest_density)
+            w_dq = float(_poly6(np.asarray((0.3 * fh) ** 2), fh))
+            scorr_k = float(self.fluid_scorr_k)
+            fluid_idx = np.where(is_fluid)[0]
+
+        n_rig = self.get_n_rigids()
+        rig_stiff = self.rigid_stiffness.astype(np.float64)
+        rig_locals = self.rigid_locals.astype(np.float64)
+
+        from scipy.spatial import cKDTree
+
+        for _ in range(self.substeps):
+            vel[free, 1] -= 9.8 * h
+            vel *= self.damping
+            prev = pos.copy()
+            pos = pos + vel * h
+
+            # --- separation candidates (phase-aware), sorted (i, j) so the
+            # f64 accumulation order matches the C++ twin exactly
+            ci = cj = cw0 = cw1 = cws = csep = None
+            if use_sep:
+                # fluid-fluid pairs separate at the fluid rest distance
+                # (FleX's fluidRestDistance-as-collision-distance), giving
+                # anti-clustering without PBF artificial pressure
+                sep_max = max(d0, self.fluid_rest_distance_target())
+                pairs = cKDTree(pos).query_pairs(
+                    1.5 * sep_max, output_type="ndarray")
+                if len(pairs):
+                    a, b = pairs[:, 0], pairs[:, 1]
+                    same = groups[a] == groups[b]
+                    keep = ~same | (selfc[a] & selfc[b])
+                    if rest_pos is not None:
+                        rd = np.linalg.norm(rest_pos[a] - rest_pos[b], axis=1)
+                        keep &= ~(same & filt[a] & filt[b] & (rd < d0 * 0.999))
+                    pairs = pairs[keep]
+                if len(pairs):
+                    order = np.lexsort((pairs[:, 1], pairs[:, 0]))
+                    pairs = pairs[order]
+                    ci, cj = pairs[:, 0], pairs[:, 1]
+                    cw0 = inv_m[ci]
+                    cw1 = inv_m[cj]
+                    cws = np.maximum(cw0 + cw1, 1e-12)
+                    csep = np.where(is_fluid[ci] & is_fluid[cj],
+                                    self.fluid_rest_distance_target(), d0)
+
+            # --- fluid neighbor pairs (fluid-fluid, within h), sorted
+            fi = fj = None
+            if use_fluid and len(fluid_idx) > 1:
+                fp = cKDTree(pos[fluid_idx]).query_pairs(
+                    fh, output_type="ndarray")
+                if len(fp):
+                    order = np.lexsort((fp[:, 1], fp[:, 0]))
+                    fp = fp[order]
+                    fi = fluid_idx[fp[:, 0]]
+                    fj = fluid_idx[fp[:, 1]]
+
+            for _ in range(self.iterations):
+                if len(self.edges):
+                    d = pos[i0] - pos[i1]
+                    dist = np.sqrt((d * d).sum(axis=1)) + 1e-12
+                    corr = (dist - rest) / dist / np.maximum(wsum, 1e-12) * k
+                    corr = np.where(active, corr, 0.0)
+                    dp = d * corr[:, None]
+                    delta = np.zeros_like(pos)
+                    np.add.at(delta, i0, -dp * w0[:, None])
+                    np.add.at(delta, i1, dp * w1[:, None])
+                    pos += 1.5 * delta / valence[:, None]
+
+                if ci is not None:
+                    d = pos[ci] - pos[cj]
+                    dist = np.sqrt((d * d).sum(axis=1)) + 1e-12
+                    pen = dist < csep
+                    if pen.any():
+                        corr = np.where(pen, (dist - csep) / dist / cws, 0.0)
+                        dp = d * corr[:, None]
+                        cdelta = np.zeros_like(pos)
+                        np.add.at(cdelta, ci, -dp * cw0[:, None])
+                        np.add.at(cdelta, cj, dp * cw1[:, None])
+                        ccount = np.zeros(n, np.float64)
+                        np.add.at(ccount, ci, pen.astype(np.float64))
+                        np.add.at(ccount, cj, pen.astype(np.float64))
+                        pos += cdelta / np.maximum(ccount, 1.0)[:, None]
+
+                # --- PBF density constraint (fluid particles)
+                if use_fluid:
+                    rho = np.zeros(n, np.float64)
+                    rho[fluid_idx] = _poly6(np.asarray(0.0), fh)  # self term
+                    grad_sum = np.zeros((n, 3), np.float64)
+                    grad_sq = np.zeros(n, np.float64)
+                    if fi is not None:
+                        d = pos[fi] - pos[fj]
+                        r2 = (d * d).sum(axis=1)
+                        r = np.sqrt(r2)
+                        wij = _poly6(r2, fh)
+                        np.add.at(rho, fi, wij)
+                        np.add.at(rho, fj, wij)
+                        g = d * (_spiky_grad_coeff(r, fh) / rho0)[:, None]
+                        np.add.at(grad_sum, fi, g)
+                        np.add.at(grad_sum, fj, -g)
+                        gsq = (g * g).sum(axis=1)
+                        np.add.at(grad_sq, fi, gsq)
+                        np.add.at(grad_sq, fj, gsq)
+                    # repulsion-only: act when over-dense (c_i > 0, lam < 0);
+                    # under-dense surface particles get no cohesive pull —
+                    # cohesion + s_corr is the classic PBF ejection failure
+                    c_i = rho / rho0 - 1.0
+                    denom = (grad_sum * grad_sum).sum(axis=1) + grad_sq + 1e-6
+                    lam = np.where(is_fluid, np.minimum(-c_i / denom, 0.0), 0.0)
+                    if fi is not None:
+                        scorr = -scorr_k * (wij / max(w_dq, 1e-12)) ** 4
+                        coef = (lam[fi] + lam[fj] + scorr) / rho0
+                        dpf = d * (coef * _spiky_grad_coeff(r, fh))[:, None]
+                        fdelta = np.zeros_like(pos)
+                        np.add.at(fdelta, fi, dpf)
+                        np.add.at(fdelta, fj, -dpf)
+                        pos[fluid_idx] += fdelta[fluid_idx]
+
+                # --- rigid shape matching
+                for ri in range(n_rig):
+                    lo_, hi_ = self.rigid_offsets[ri], self.rigid_offsets[ri + 1]
+                    idx = self.rigid_indices[lo_:hi_]
+                    q_local = rig_locals[lo_:hi_]
+                    p = pos[idx]
+                    com = p.mean(axis=0)
+                    a = (p - com).T @ q_local  # 3x3 covariance
+                    r_mat = _extract_rotation(a, self.rigid_quats[ri])
+                    target = com + q_local @ r_mat.T
+                    s = rig_stiff[ri]
+                    mov = free[idx]
+                    p[mov] += s * (target[mov] - p[mov])
+                    pos[idx] = p
+                    self.rigid_rotations[ri] = r_mat.astype(np.float32)
+                    self.rigid_translations[ri] = com.astype(np.float32)
+
+                # --- ground plane + friction
+                floor = self.particle_radius * 0.5
+                below = pos[:, 1] < floor
+                if below.any():
+                    tangent = pos[below][:, [0, 2]] - prev[below][:, [0, 2]]
+                    pos[below, 0] -= tangent[:, 0] * self.ground_friction
+                    pos[below, 2] -= tangent[:, 1] * self.ground_friction
+                    pos[below, 1] = floor
+
+                # --- typed kinematic colliders
+                margin = self.particle_radius * 0.5
+                for s in range(len(self.shape_states)):
+                    st = int(self.shape_types[s]) if s < len(self.shape_types) \
+                        else SHAPE_SPHERE
+                    if st < 0:
+                        continue  # trigger shapes don't collide
+                    sp = self.shape_states[s, :3].astype(np.float64)
+                    quat = self.shape_states[s, 6:10].astype(np.float64)
+                    prm = self.shape_params[s].astype(np.float64) \
+                        if s < len(self.shape_params) else \
+                        np.array([self.shape_radii[s], 0, 0], np.float64)
+                    if st == SHAPE_SPHERE:
+                        rr = prm[0] + margin
+                        dvec = pos - sp
+                        ddist = np.sqrt((dvec * dvec).sum(axis=1)) + 1e-12
+                        pen = ddist < rr
+                        if pen.any():
+                            pos[pen] = sp + dvec[pen] / ddist[pen, None] * rr
+                    elif st == SHAPE_BOX:
+                        # quat order is (w, x, y, z) throughout this sim
+                        rot = _quat_to_mat(quat)
+                        local = (pos - sp) @ rot  # = rot.T applied row-wise
+                        he = prm + margin
+                        inside = np.all(np.abs(local) < he, axis=1)
+                        if inside.any():
+                            li = local[inside]
+                            # push out along the axis of least penetration
+                            pen_ax = he - np.abs(li)
+                            ax = np.argmin(pen_ax, axis=1)
+                            rows = np.arange(len(li))
+                            sign = np.where(li[rows, ax] >= 0, 1.0, -1.0)
+                            li[rows, ax] = sign * he[ax]
+                            local[inside] = li
+                            pos[inside] = local[inside] @ rot.T + sp
+                    elif st == SHAPE_CAPSULE:
+                        rot = _quat_to_mat(quat)
+                        axis = rot[:, 0]  # local x
+                        t = np.clip((pos - sp) @ axis, -prm[1], prm[1])
+                        closest = sp + t[:, None] * axis[None]
+                        rr = prm[0] + margin
+                        dvec = pos - closest
+                        ddist = np.sqrt((dvec * dvec).sum(axis=1)) + 1e-12
+                        pen = ddist < rr
+                        if pen.any():
+                            pos[pen] = (closest[pen]
+                                        + dvec[pen] / ddist[pen, None] * rr)
+
+                # --- container walls
+                if self.bounds_lo is not None:
+                    lo_b = self.bounds_lo.astype(np.float64) + margin
+                    hi_b = self.bounds_hi.astype(np.float64) - margin
+                    pos = np.clip(pos, lo_b, hi_b)
+
+            vel = (pos - prev) / h
+            vel[~free] = 0.0
+
+        self.positions[:, :3] = pos.astype(np.float32)
+        self.velocities = vel.astype(np.float32)
 
     def _step_numpy(self) -> None:
         n = len(self.positions)
@@ -524,3 +1122,8 @@ class ClothSim:
         rgba = np.concatenate(
             [color, np.full((height, width, 1), 255, np.uint8)], axis=-1)
         return rgba, depth
+
+
+# The sim outgrew cloth (rope/rigid/softbody/fluid scenes live in
+# env/scenes.py); ParticleSim is the honest name, ClothSim the original.
+ParticleSim = ClothSim
