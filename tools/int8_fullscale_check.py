@@ -110,7 +110,8 @@ def main() -> None:
         entry = {"peak": peak, "top2_gap": peak - second,
                  "margin_vs_median": margin_med}
         for name in servers:
-            px = np.asarray(getattr(acts[name], h), np.float64)
+            # Action fields arrive as (2,) or batch-1 (1, 2); flatten to (y, x)
+            px = np.asarray(getattr(acts[name], h), np.float64).reshape(-1)
             entry[f"{name}_pixel"] = [float(v) for v in px]
         d8 = float(np.linalg.norm(
             np.asarray(entry["int8_pixel"]) - np.asarray(entry["f32_pixel"])))
