@@ -112,6 +112,42 @@ def test_upsample2x_matches_torch():
     assert np.abs(ours - theirs).max() < 1e-5
 
 
+def test_convdecoder_collapsed_matches_interleaved(monkeypatch):
+    """The collapsed evaluation order (all Dense at the patch grid, then one
+    composed x16 bilinear) is the same linear function as the reference's
+    interleaved pyramid — forward AND parameter gradients (decoders.py
+    module docstring; reference modules.py:33-75)."""
+    from bifold_tpu.models.decoders import ConvDecoder
+
+    rng = np.random.default_rng(0)
+    # non-square grid + output_dim>1 to exercise the general case
+    x = jnp.asarray(rng.standard_normal((2, 3, 5, 16)), jnp.float32)
+    dec = ConvDecoder(input_dim=16, output_dim=2)
+    variables = dec.init(jax.random.key(0), x)
+
+    def run():
+        def loss(v):
+            out = dec.apply(v, x)
+            return jnp.sum(out * out), out
+
+        (l, out), grads = jax.value_and_grad(loss, has_aux=True)(variables)
+        return np.asarray(out), jax.tree.map(np.asarray, grads)
+
+    monkeypatch.setenv("BIFOLD_CONVDEC", "interleaved")
+    out_ref, g_ref = run()
+    monkeypatch.delenv("BIFOLD_CONVDEC")
+    out_col, g_col = run()
+
+    assert out_col.shape == (2, 48, 80, 2)
+    scale = np.abs(out_ref).max()
+    assert np.abs(out_col - out_ref).max() < 1e-5 * max(scale, 1.0)
+    flat_ref = jax.tree.leaves(g_ref)
+    flat_col = jax.tree.leaves(g_col)
+    assert len(flat_ref) == len(flat_col) == 10  # 5 kernels + 5 biases
+    for a, b in zip(flat_ref, flat_col):
+        assert np.abs(a - b).max() < 1e-3 * max(np.abs(a).max(), 1.0)
+
+
 def test_decode_action_graph_mode():
     """Graph-mode pick decode: node-probability heatmaps index into the
     projected node pixels (reference models/__init__.py:84-106)."""
