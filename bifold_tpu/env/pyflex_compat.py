@@ -285,12 +285,21 @@ def render_cloth(capture: int = 0, path: str = "") -> Tuple[np.ndarray, np.ndarr
     our rasterizer draws the particle system's mesh already, so this is
     render() with colliders hidden for the call."""
     sim = _require_sim()
-    saved = sim.shape_states
+    # hide ALL shape buffers symmetrically: the two render backends take
+    # their shape count from different arrays (sim.py:789, native.py:87-88)
+    fields = ("shape_states", "shape_types", "shape_params", "shape_radii",
+              "shape_colors")
+    saved = {f: getattr(sim, f) for f in fields}
     try:
         sim.shape_states = np.zeros((0, 14), np.float32)
+        sim.shape_types = np.zeros((0,), np.int32)
+        sim.shape_params = np.zeros((0, 3), np.float32)
+        sim.shape_radii = np.zeros((0,), np.float32)
+        sim.shape_colors = np.zeros((0, 3), np.float32)
         return render(capture, path)
     finally:
-        sim.shape_states = saved
+        for f, v in saved.items():
+            setattr(sim, f, v)
 
 
 def get_camera_params() -> np.ndarray:
