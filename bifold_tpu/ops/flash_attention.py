@@ -99,6 +99,30 @@ def _pick_blocks(nq: int, nk: int, block_q: int, block_k: int,
     return block_q, block_k
 
 
+def _bwd_block_q(nq: int) -> int:
+    """Backward q-block auto-pick: the LARGEST block in {128, 256, 512}
+    whose row padding stays within ~6% of the minimum.
+
+    The fused backward keeps dk/dv f32 accumulator blocks resident across
+    the (sequential) q-block steps of one (b*h) grid row, so fewer/larger
+    q blocks mean fewer accumulator revisits and recomputed-probability
+    passes. Measured on v5e (tools/attn_bench.py, real chip 2026-08-19):
+    at the fusion shape (nq 2373, pads 2432/2560/2560 for 128/256/512)
+    block 512 runs the bwd ~20% faster than 256 at identical padding
+    (bwd-alone 2.09 vs 2.61 ms; fwd+bwd 4.46 vs 4.79); at the vision shape
+    (nq 577, pads 640/768/1024) 512/256 would pay +20..60% padded rows —
+    measured 128 == 256 within noise (fwd+bwd ~2.39 both), so the
+    minimal-pad pick costs nothing. Pure padding-minimization (always 128)
+    loses at the fusion shape — hence 'largest within the padding
+    tolerance', not 'smallest pad'."""
+    pads = {b: -(-nq // b) * b for b in (128, 256, 512)}
+    best = min(pads.values())
+    for b in (512, 256, 128):
+        if pads[b] <= best * 1.06:
+            return b
+    return 128
+
+
 # Both kernels keep full K/V rows (and, backward, f32 dk/dv accumulator
 # out-blocks) resident in VMEM for the whole grid row — block_k tiles the
 # in-kernel loop, not the residency. For sequences far beyond today's ~2.4k
@@ -222,6 +246,12 @@ def _forward_with_lse(q, k, v, key_mask, scale, block_q, block_k, interpret,
                       with_lse: bool = True):
     b, nq, h, d = q.shape
     nk = k.shape[1]
+    if block_q is None:
+        # Measured fwd sweet spot at the flagship shapes; BIFOLD_FLASH_FWD_BQ
+        # overrides for A/B (the 2026-08-19 kernel sweep saw fusion fwd 2.03 ms
+        # at 128 vs 2.19 at 256 — near the noise gate, kept as a lever).
+        import os
+        block_q = int(os.environ.get("BIFOLD_FLASH_FWD_BQ", "256"))
     block_q, block_k = _pick_blocks(
         nq, nk, block_q, block_k,
         fixed_row_bytes=2 * d * q.dtype.itemsize)
@@ -328,10 +358,13 @@ def _backward(q, k, v, key_mask, out, lse, g, scale, block_q, block_k,
               interpret):
     b, nq, h, d = q.shape
     nk = k.shape[1]
-    # smaller q blocks + budget than forward: the fused kernel keeps dk/dv
-    # f32 accumulator blocks and four (block_q, block_k) temporaries resident
+    # smaller VMEM budget than forward: the fused kernel keeps dk/dv f32
+    # accumulator blocks and four (block_q, block_k) temporaries resident.
+    # Default (None): shape-aware auto-pick — larger q blocks than the
+    # forward's pay off here (see _bwd_block_q)
     block_q, block_k = _pick_blocks(
-        nq, nk, min(block_q, 512), block_k,
+        nq, nk,
+        _bwd_block_q(nq) if block_q is None else min(block_q, 512), block_k,
         vmem_budget=4 * 1024 * 1024,
         fixed_row_bytes=2 * d * q.dtype.itemsize + 2 * d * 4,
         n_score_tiles=4)
@@ -597,7 +630,7 @@ def flash_attention(
     key_mask=None,
     *,
     scale: float | None = None,
-    block_q: int = 256,
+    block_q: int | None = None,
     block_k: int = 512,
     interpret: bool = False,
 ):
@@ -606,7 +639,13 @@ def flash_attention(
     recomputes probabilities blockwise from the saved row logsumexp).
     SPMD-partitionable over batch and heads (see the custom_partitioning
     block above) — under a sharded jit each shard runs the kernel locally
-    instead of XLA replicating the opaque custom-call."""
+    instead of XLA replicating the opaque custom-call.
+
+    ``block_q=None`` (default) picks per stage: forward 256 rows (measured
+    sweet spot), backward the shape-aware ``_bwd_block_q`` policy (larger
+    blocks when padding allows — measured ~20% faster fusion bwd at 512).
+    An explicit int applies to both stages (backward clamps at 512),
+    preserving the old behavior for A/B levers."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if key_mask is None:  # concrete operand for the partitioner
@@ -622,7 +661,7 @@ def _flash_forward(
     key_mask=None,
     *,
     scale: float | None = None,
-    block_q: int = 256,
+    block_q: int | None = None,
     block_k: int = 512,
     interpret: bool = False,
 ):
