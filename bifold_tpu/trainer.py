@@ -392,16 +392,41 @@ class Trainer:
         pending = []   # deferred (loss_mean future, n_steps) readbacks
 
         def batch_groups():
-            """Yield lists of k_scan consecutive batches (the tail may be
-            shorter — it runs through the per-step program)."""
-            buf = []
+            """Yield lists of k_scan consecutive batches (ONE fused scan
+            dispatch each); the epoch tail (< k batches) yields SINGLETONS.
+            Tail batches run through the per-step program either way — but
+            they must be separate groups, not one multi-batch group: the
+            per-group bookkeeping below (live param handles, global_step,
+            save_steps boundaries) runs once per group, and a multi-batch
+            group would leave self.params pointing at buffers the first
+            tail step's donation already deleted — an interrupt between
+            tail steps then cannot checkpoint (loses up to an epoch), and
+            a save_steps boundary inside the tail never fires.
+
+            When the loader is sized (the shipped loaders all are), the
+            tail is known up front and its batches yield as soon as they
+            are pulled — buffering the tail eagerly would run the loader
+            (and any SIGTERM delivered during it) to exhaustion before the
+            first tail step, preempting earlier than the step boundary the
+            SIGTERM contract promises (test_sigterm_preemption_*)."""
+            try:
+                remaining = max(0, len(self.train_dataloader) - start)
+            except TypeError:
+                remaining = None    # unsized iterable: buffered fallback
+            in_full_groups = (remaining // k_scan) * k_scan \
+                if remaining is not None else None
+            buf, pulled = [], 0
             for b in self.train_dataloader:
+                pulled += 1
+                if in_full_groups is not None and pulled > in_full_groups:
+                    yield [b]       # known tail: step immediately
+                    continue
                 buf.append(b)
                 if len(buf) == k_scan:
                     yield buf
                     buf = []
-            if buf:
-                yield buf
+            for b in buf:           # unsized-iterable tail
+                yield [b]
 
         for group in batch_groups():
             host_batches = [split_batch(b)[0] for b in group]
@@ -426,19 +451,8 @@ class Trainer:
             if fused:
                 state, step_metrics = self._multi_step(state, device_batch)
             else:
-                # k_scan == 1, or the epoch tail (< k batches): per-step
-                # program. Tail batches run one dispatch each.
-                tail_losses = []
-                for extra in host_batches[1:]:
-                    state, m = self._train_step(state, device_batch)
-                    tail_losses.append(float(m["loss"]))
-                    device_batch = parallel.shard_batch(self.mesh, extra)
+                # k_scan == 1 or an epoch-tail singleton: per-step program
                 state, step_metrics = self._train_step(state, device_batch)
-                if tail_losses:
-                    step_metrics = dict(step_metrics)
-                    step_metrics["loss_mean"] = (
-                        (sum(tail_losses) + float(step_metrics["loss"]))
-                        / len(group))
             n_done = len(group)
             # The donated step invalidates the previous state's buffers; keep
             # live handles every step so the interrupt path (train()'s except
