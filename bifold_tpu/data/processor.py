@@ -243,7 +243,7 @@ class Processor:
     def __init__(self, cfg, partition: str, max_context_length: Optional[int] = None,
                  num_nodes: Optional[int] = None, neighbor_radius: Optional[float] = None,
                  voxel_size: Optional[float] = None, autoprocessor_name: Optional[str] = None,
-                 seed: int = 0):
+                 seed: int = 0, spm_asset=None):
         cfg = dict(cfg)
         self.cfg = cfg
         self.partition = partition
@@ -255,7 +255,13 @@ class Processor:
         self.max_context_length = max_context_length or 0
         self.process_context = max_context_length is not None
         self.autoprocessor_name = autoprocessor_name
-        self.tokenize = build_tokenizer(cfg.get("text_encoder"), autoprocessor_name)
+        # explicit spiece.model (path or bytes) pins the vocabulary to THIS
+        # model's asset — serving threads the checkpoint's sibling file /
+        # export-artifact bytes here (data/tokenizers.build_tokenizer)
+        self.spm_asset = spm_asset
+        self.tokenize = build_tokenizer(cfg.get("text_encoder"),
+                                        autoprocessor_name,
+                                        spm_asset=spm_asset)
         self._rng = np.random.default_rng(seed)
 
         sa = dict(cfg.get("spatial_augmentations", {}))

@@ -272,7 +272,6 @@ class SentencePieceModel:
             if "cf" in self.normalizer_name:  # nmt_nfkc_cf: casefold
                 text = text.lower()
         if self.remove_extra_whitespaces:
-            text = " ".join(text.split(" "))
             while "  " in text:
                 text = text.replace("  ", " ")
             text = text.strip(" ")

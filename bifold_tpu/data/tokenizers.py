@@ -237,14 +237,16 @@ class SpmSiglipTokenizer:
        right-pad with the pad token (``</s>`` too, per SiglipTokenizer).
     """
 
-    def __init__(self, model_path: str | Path,
+    def __init__(self, model_path: str | Path | bytes,
                  context_length: int = SIGLIP_CONTEXT_LENGTH,
                  do_lower_case: bool = True,
                  unk_token: str = "<unk>", eos_token: str = "</s>",
                  pad_token: str = "</s>"):
         from bifold_tpu.data.spm import SentencePieceModel
 
-        self.spm = SentencePieceModel.load(model_path)
+        self.spm = (SentencePieceModel.from_bytes(model_path)
+                    if isinstance(model_path, bytes)
+                    else SentencePieceModel.load(model_path))
         # HF SiglipTokenizer.get_spm_processor forces add_dummy_prefix off
         self.spm.add_dummy_prefix = False
         self.context_length = context_length
@@ -278,11 +280,18 @@ class SpmSiglipTokenizer:
         return out
 
 
-def siglip_spm_path() -> Optional[Path]:
+def siglip_spm_path(autoprocessor_name: Optional[str] = None) -> Optional[Path]:
     """The SigLIP ``spiece.model`` asset: ``$BIFOLD_SIGLIP_SPM`` override,
-    else the repo asset dir (populated by ``models/convert.py``, which
-    copies the file out of the HF checkpoint dir at conversion time), else
-    a local HF hub cache. None when absent (→ hash fallback, loud)."""
+    else a user-placed copy in the repo asset dir (``models/convert.py``
+    copies the file next to its OUTPUT checkpoint — load_checkpoint /
+    ServingModel pick that sibling up explicitly), else a local HF hub
+    cache snapshot KEYED to ``autoprocessor_name``. None when absent
+    (→ hash fallback, loud).
+
+    The HF-cache lookup only falls back to a generic ``*siglip*`` glob when
+    the requested name itself is a siglip model — a from-scratch smoke
+    (``automodel_name=tiny``) on a machine with a cached siglip snapshot
+    must NOT silently switch vocabularies."""
     env = os.environ.get("BIFOLD_SIGLIP_SPM")
     if env and Path(env).exists():
         return Path(env)
@@ -291,7 +300,12 @@ def siglip_spm_path() -> Optional[Path]:
         return vendored
     hub = Path(os.environ.get("HF_HOME",
                               Path.home() / ".cache" / "huggingface")) / "hub"
-    for pat in ("models--google--siglip-*", "models--*siglip*"):
+    pats = []
+    if autoprocessor_name:
+        pats.append("models--" + autoprocessor_name.replace("/", "--"))
+    if autoprocessor_name is None or "siglip" in (autoprocessor_name or "").lower():
+        pats += ["models--google--siglip-*", "models--*siglip*"]
+    for pat in pats:
         for cand in sorted(hub.glob(f"{pat}/snapshots/*/spiece.model")):
             return cand
     return None
@@ -319,11 +333,17 @@ CLIP_MODEL_NAMES = {
 
 
 def build_tokenizer(text_encoder: Optional[str] = None,
-                    autoprocessor_name: Optional[str] = None):
+                    autoprocessor_name: Optional[str] = None,
+                    spm_asset=None):
     """Pick the tokenizer the reference would
     (processor.py:87-141): autoprocessor (SigLIP) > CLIP BPE for CLIP model
     names > HF AutoTokenizer for anything else. Missing assets degrade to a
-    HashTokenizer with matching shape/special-token layout."""
+    HashTokenizer with matching shape/special-token layout.
+
+    ``spm_asset`` (a ``spiece.model`` path or its raw bytes) pins the
+    sentencepiece vocabulary explicitly — serving threads the checkpoint's
+    own sibling asset here so two checkpoints loaded in one process never
+    share a stale global selection."""
     # no egress in this environment: resolve from local caches only, and fail
     # fast to the hash fallback instead of retrying network fetches
     os.environ.setdefault("HF_HUB_OFFLINE", "1")
@@ -332,7 +352,8 @@ def build_tokenizer(text_encoder: Optional[str] = None,
         # our own unigram engine first: only needs the spiece.model FILE
         # (carried out of checkpoints by models/convert.py), not the
         # sentencepiece wheel or HF tokenizer assets — exact ids offline
-        spm_asset = siglip_spm_path()
+        if spm_asset is None:
+            spm_asset = siglip_spm_path(autoprocessor_name)
         if spm_asset is not None:
             return SpmSiglipTokenizer(spm_asset)
         try:

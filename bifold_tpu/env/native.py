@@ -70,14 +70,6 @@ class NativeSim:
     def _ptr(arr, ctype):
         return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
-    def step_ext(self, sim) -> bool:
-        """Extended scenes (phases/rigids/fluids/typed shapes): dispatched to
-        bifold_step2 when the built library exports it; False falls back to
-        the numpy twin."""
-        if not hasattr(self.lib, "bifold_step2"):
-            return False
-        return self._step2(sim)
-
     def step(self, sim) -> bool:
         pos = np.ascontiguousarray(sim.positions, np.float32)
         vel = np.ascontiguousarray(sim.velocities, np.float32)

@@ -89,7 +89,12 @@ def fluid_scene(sim: ClothSim, *, dim=(8, 16, 8), lower=(0.0, 0.1, 0.0),
     interaction radius as the smoothing length). PBF density solve."""
     spacing = radius * rest_dis_coef
     pos = _box_lattice(lower, dim, spacing)
-    sim.set_particles(pos, 1.0, phases=make_phase(0, False, False, True),
+    # SelfCollide|Fluid, matching softgym_fluid.h's NvFlexMakePhase — with
+    # self-collide OFF the phase gate in _step_numpy_ext would drop every
+    # fluid-fluid pair and the rest-distance separation pass (the
+    # anti-clustering mechanism replacing PBF artificial pressure) would
+    # never run
+    sim.set_particles(pos, 1.0, phases=make_phase(0, True, False, True),
                       color=(0.3, 0.5, 0.9))
     # rest density of the emission lattice itself, so pressure is neutral
     # in the initial block interior

@@ -592,8 +592,8 @@ class ClothSim:
 
     def step(self) -> None:
         if self._uses_extended_features():
-            if self._native is not None and self._native.step_ext(self):
-                return
+            # extended scenes run on the vectorized numpy path only; the
+            # native core (csrc) accelerates the legacy cloth step below
             self._step_numpy_ext()
             return
         if self._native is not None and self._native.step(self):
@@ -606,8 +606,8 @@ class ClothSim:
         the algorithm class behind FleX's fluid solver) + shape-matching
         rigid clusters (Mueller et al. shape matching — FleX's rigid/
         softbody mechanism) + typed kinematic colliders + container walls.
-        Mirrored operation-for-operation by bifold_step2 in
-        csrc/bifold_sim.cpp."""
+        Numpy-only (fully vectorized): the native core in csrc accelerates
+        the legacy cloth step, not this path."""
         n = len(self.positions)
         if n == 0:
             return

@@ -201,6 +201,8 @@ def analyze_layout(mesh_cfg: dict, *, batch: int = 8,
     # via the active-mesh registry (exactly what the Trainer sets) — so the
     # analyzed program IS the pipelined/expert-parallel one, not the dense
     # single-program fallback
+    prev_mesh = parallel.active_mesh()
+    prev_pp_mb = parallel.active_pp_microbatches()
     parallel.set_active_mesh(mesh)
 
     saved = {k: os.environ.get(k)
@@ -315,7 +317,10 @@ def analyze_layout(mesh_cfg: dict, *, batch: int = 8,
             "est": est,
         }
     finally:
-        parallel.set_active_mesh(None)
+        # restore the CALLER's routing, not None — an advisory pass in the
+        # same process as a live Trainer (mesh.pp/ep > 1) must not switch
+        # its subsequent re-traces to the dense fallback
+        parallel.set_active_mesh(prev_mesh, pp_microbatches=prev_pp_mb)
         for k, v in saved.items():
             if v is None:
                 os.environ.pop(k, None)

@@ -38,6 +38,25 @@ _BINARY_INPUTS = ("mask", "ctx_mask")  # 0/1 floats travel as uint8
 _DEPTH_INPUTS = ("depth", "ctx_depth")
 
 
+def _spm_asset_bytes(processor) -> Optional[bytes]:
+    """The spiece.model bytes backing ``processor``'s tokenizer, for
+    embedding into export artifacts: the explicitly-pinned asset first,
+    else whatever global resolution the processor's build would have found.
+    None for non-sentencepiece tokenizers (CLIP BPE, hash fallback)."""
+    asset = getattr(processor, "spm_asset", None)
+    if isinstance(asset, bytes):
+        return asset
+    if asset is not None:
+        from pathlib import Path
+        return Path(asset).read_bytes()
+    if processor.autoprocessor_name:
+        from bifold_tpu.data.tokenizers import siglip_spm_path
+        found = siglip_spm_path(processor.autoprocessor_name)
+        if found is not None:
+            return found.read_bytes()
+    return None
+
+
 def _stack_raws(raws):
     """Stack N make_raw records into one batched observation dict."""
     batched = {k: np.stack([np.asarray(r[k]) for r in raws])
@@ -327,10 +346,17 @@ class ServingModel:
         payload = load_checkpoint(checkpoint_path, restore_rng=False)
         variables = {"params": payload["params"], **(payload.get("extra_vars") or {})}
         mcl = dict(cfg["model"]).get("context_length")
+        # the checkpoint's OWN tokenizer asset (models/convert.py copies
+        # spiece.model next to the converted .ckpt) — threaded explicitly so
+        # a process serving two checkpoints never reuses a stale global
+        # selection
+        from pathlib import Path as _P
+        spm_sibling = _P(checkpoint_path).parent / "spiece.model"
         processor = Processor(
             dict(cfg["processor"]), partition="test",
             max_context_length=mcl,
-            autoprocessor_name=dict(cfg["model"]).get("automodel_name"))
+            autoprocessor_name=dict(cfg["model"]).get("automodel_name"),
+            spm_asset=spm_sibling if spm_sibling.exists() else None)
         return cls(model, variables, processor, threshold=threshold,
                    depth_wire_dtype=depth_wire_dtype, quantize=quantize,
                    quantize_min_size=quantize_min_size, mesh=mesh)
@@ -519,6 +545,11 @@ class ServingModel:
             "max_context_length": (self.processor.max_context_length
                                    if self.processor.process_context else None),
             "autoprocessor_name": self.processor.autoprocessor_name,
+            # embed the tokenizer vocabulary so the artifact tokenizes
+            # exactly on any host (spiece.model is <1 MB); bytes if the
+            # serving processor was pinned to an asset, else whatever the
+            # global resolution found at export time
+            "spm_model_bytes": _spm_asset_bytes(self.processor),
             "platforms": plats or [jax.default_backend()],
             "batch": max(1, int(batch)),
         }
@@ -561,7 +592,8 @@ class ExportedServingModel:
         self.processor = Processor(
             p["processor_cfg"], partition="test",
             max_context_length=p["max_context_length"],
-            autoprocessor_name=p["autoprocessor_name"])
+            autoprocessor_name=p["autoprocessor_name"],
+            spm_asset=p.get("spm_model_bytes"))
 
     def predict(self, rgb=None, depth=None, mask=None, instruction: str = "",
                 context: Optional[List[Dict]] = None,

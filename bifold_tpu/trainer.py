@@ -415,12 +415,25 @@ class Trainer:
                 remaining = None    # unsized iterable: buffered fallback
             in_full_groups = (remaining // k_scan) * k_scan \
                 if remaining is not None else None
-            buf, pulled = [], 0
+            buf, pulled, buf_shapes = [], 0, None
             for b in self.train_dataloader:
                 pulled += 1
                 if in_full_groups is not None and pulled > in_full_groups:
                     yield [b]       # known tail: step immediately
                     continue
+                # groups are np.stack'ed: a ragged batch (drop_last=False
+                # loaders can emit a smaller final batch that still lands
+                # INSIDE a full k-group) must not share a group with
+                # full-size batches — route shape-mismatched batches (and
+                # whatever was buffered) as singletons instead of crashing
+                # the stack mid-epoch
+                shapes = tuple(np.shape(x)
+                               for x in jax.tree_util.tree_leaves(b))
+                if buf and shapes != buf_shapes:
+                    for x in buf:
+                        yield [x]
+                    buf = []
+                buf_shapes = shapes
                 buf.append(b)
                 if len(buf) == k_scan:
                     yield buf

@@ -159,20 +159,31 @@ class AsyncCheckpointer:
             raise RuntimeError("async checkpoint write failed") from err
 
 
+# whether $BIFOLD_SIGLIP_SPM currently holds a value load_checkpoint itself
+# registered (vs one the user set, which always wins)
+_SPM_ENV_OWNED = False
+
+
 def load_checkpoint(path: str | Path, *, restore_rng: bool = True) -> Dict[str, Any]:
     """Load a checkpoint; optionally restore host RNG states in place
     (the reference restores random/np RNGs on resume, __main__.py:283-301).
 
     Tokenizer-asset pickup: a ``spiece.model`` sitting next to the
     checkpoint (models/convert.py copies it out of the source HF dir) is
-    registered via ``$BIFOLD_SIGLIP_SPM`` (setdefault — an explicit env
-    wins) so the from-scratch sentencepiece tokenizer
-    (data/tokenizers.SpmSiglipTokenizer) tokenizes converted checkpoints
-    with exact pretrained-vocabulary ids instead of the hash fallback."""
+    registered via ``$BIFOLD_SIGLIP_SPM`` so the from-scratch sentencepiece
+    tokenizer (data/tokenizers.SpmSiglipTokenizer) tokenizes converted
+    checkpoints with exact pretrained-vocabulary ids instead of the hash
+    fallback. A user-set value wins; values WE registered are last-wins, so
+    a long-lived process loading checkpoint A then B picks up B's asset for
+    tokenizers built after the load (serving threads the sibling explicitly
+    and does not depend on this)."""
     import os
+    global _SPM_ENV_OWNED
     spm_sibling = Path(path).parent / "spiece.model"
     if spm_sibling.exists():
-        os.environ.setdefault("BIFOLD_SIGLIP_SPM", str(spm_sibling))
+        if "BIFOLD_SIGLIP_SPM" not in os.environ or _SPM_ENV_OWNED:
+            os.environ["BIFOLD_SIGLIP_SPM"] = str(spm_sibling)
+            _SPM_ENV_OWNED = True
     with open(path, "rb") as f:
         payload = pickle.load(f)
     if restore_rng:

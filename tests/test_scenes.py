@@ -2,9 +2,9 @@
 rigid clusters (shape matching), softbody lattice, box/capsule colliders,
 phases/groups (reference softgym_scenes/*.h + pyflex.cpp:1121-1188).
 
-These drive the numpy extended solver (env/sim.py _step_numpy_ext) and,
-when csrc is built with bifold_step2, the native twin — test_scenes_native
-asserts the two agree."""
+These drive the numpy extended solver (env/sim.py _step_numpy_ext — the
+only backend for extended scenes; the csrc native core accelerates the
+legacy cloth step)."""
 
 import numpy as np
 import pytest

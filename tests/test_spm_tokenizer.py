@@ -183,3 +183,79 @@ def test_byte_fallback_vocab():
     # unknown 'Z' (0x5A) -> its byte piece, not unk
     assert ids[-1] == len(PIECES) + 0x5A
     assert m.unk_id not in ids
+
+
+def test_hf_cache_lookup_keyed_to_model_name(model_path, tmp_path, monkeypatch):
+    """The HF-cache fallback resolves the REQUESTED model's snapshot; a
+    from-scratch smoke (automodel_name=tiny) must not silently pick up a
+    cached siglip vocabulary (round-4 review finding)."""
+    from pathlib import Path
+
+    import bifold_tpu.data.tokenizers as T
+
+    if (Path(T.__file__).parent / "assets" / "spiece.model").exists():
+        pytest.skip("vendored asset present: cache lookup unreachable")
+    monkeypatch.delenv("BIFOLD_SIGLIP_SPM", raising=False)
+    snap = (tmp_path / "hub" / "models--google--siglip-base-patch16-384"
+            / "snapshots" / "abc123")
+    snap.mkdir(parents=True)
+    (snap / "spiece.model").write_bytes(model_path.read_bytes())
+    monkeypatch.setenv("HF_HOME", str(tmp_path))
+
+    assert siglip_spm_path("google/siglip-base-patch16-384") == \
+        snap / "spiece.model"
+    # generic fallback stays for other siglip variants...
+    assert siglip_spm_path("google/siglip-large-patch16-256") == \
+        snap / "spiece.model"
+    # ...but a non-siglip name must NOT match it
+    assert siglip_spm_path("tiny") is None
+
+
+def test_checkpoint_sibling_registration_last_wins_when_ours(
+        model_path, tmp_path, monkeypatch):
+    """Loading checkpoint A then B re-points $BIFOLD_SIGLIP_SPM at B's
+    sibling asset (a long-lived process must not tokenize B's text with A's
+    vocabulary) — but a USER-set value is never clobbered."""
+    import os
+    import pickle
+
+    import bifold_tpu.utils.checkpoint as C
+
+    monkeypatch.delenv("BIFOLD_SIGLIP_SPM", raising=False)
+    monkeypatch.setattr(C, "_SPM_ENV_OWNED", False)
+
+    def make(run):
+        d = tmp_path / run
+        d.mkdir()
+        with open(d / "best.ckpt", "wb") as f:
+            pickle.dump({"params": {}}, f)
+        (d / "spiece.model").write_bytes(model_path.read_bytes())
+        return d
+
+    a, b = make("a"), make("b")
+    C.load_checkpoint(a / "best.ckpt", restore_rng=False)
+    assert os.environ["BIFOLD_SIGLIP_SPM"] == str(a / "spiece.model")
+    C.load_checkpoint(b / "best.ckpt", restore_rng=False)
+    assert os.environ["BIFOLD_SIGLIP_SPM"] == str(b / "spiece.model")
+
+    # user-set value wins over any subsequent load
+    user = tmp_path / "user_spiece.model"
+    user.write_bytes(model_path.read_bytes())
+    monkeypatch.setenv("BIFOLD_SIGLIP_SPM", str(user))
+    monkeypatch.setattr(C, "_SPM_ENV_OWNED", False)
+    C.load_checkpoint(a / "best.ckpt", restore_rng=False)
+    assert os.environ["BIFOLD_SIGLIP_SPM"] == str(user)
+
+
+def test_explicit_spm_asset_pins_tokenizer(model_path, monkeypatch):
+    """An explicit spm_asset (path OR raw bytes) short-circuits all global
+    resolution — the mechanism serving uses to pin each checkpoint to its
+    own vocabulary."""
+    monkeypatch.delenv("BIFOLD_SIGLIP_SPM", raising=False)
+    by_path = build_tokenizer(None, "tiny", spm_asset=model_path)
+    by_bytes = build_tokenizer(None, "tiny",
+                               spm_asset=model_path.read_bytes())
+    assert isinstance(by_path, SpmSiglipTokenizer)
+    assert isinstance(by_bytes, SpmSiglipTokenizer)
+    np.testing.assert_array_equal(by_path("fold the towel"),
+                                  by_bytes("fold the towel"))

@@ -1243,3 +1243,31 @@ def test_steps_per_dispatch_matches_per_step(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(ta.params),
                     jax.tree_util.tree_leaves(tb.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ragged_tail_inside_full_group_runs_as_singletons(tmp_path):
+    """A drop_last=False loader whose ragged final batch lands INSIDE a
+    full k-group (len(loader) divisible by steps_per_dispatch) must route
+    shape-mismatched batches as singleton groups instead of crashing the
+    fused np.stack (round-4 review finding). 28 samples / batch 8 ->
+    batches (8, 8, 8, 4), k=2: (b1, b2) fuse, b3 and the ragged b4 step
+    alone."""
+    cfg = compose([
+        "train_dataset=synthetic", "test_dataset=null", "model=siglip",
+        "train_dataset.n_samples=28", "train_dataset.image_size=64",
+        "model.image_size=64", "model.automodel_name=tiny",
+        "model.dim=64", "model.depth=1", "model.heads=4", "model.r=2",
+        "epochs=1", "eval_epochs=0", "batch_size=8", "test_batch_size=8",
+        "simulator=null", "steps_per_dispatch=2",
+        # 2 data-axis shards: the ragged 4-sample tail must stay shardable
+        "mesh.dp=2", "mesh.tp=4",
+        f"run_dir={tmp_path / 'ragged'}",
+    ])
+    t = Trainer(Config(cfg), run_dir=tmp_path / "ragged")
+    t.prepare_train()
+    from bifold_tpu.data.loader import DataLoader
+    t.train_dataloader = DataLoader(
+        t.train_dataloader.dataset, 8, shuffle=False, drop_last=False)
+    assert len(t.train_dataloader) == 4
+    t.train()
+    assert t.global_step == 4
