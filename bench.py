@@ -32,7 +32,7 @@ def _flagship(batch: int, image_size: int = 384, context: int = 3):
 
     from bifold_tpu import parallel
     from bifold_tpu.losses import build_loss
-    from bifold_tpu.models import build_model, trainable_mask
+    from bifold_tpu.models import build_model, precast_frozen, trainable_mask
     from bifold_tpu.optim import build_optimizer
 
     model = build_model({
@@ -82,6 +82,10 @@ def _flagship(batch: int, image_size: int = 384, context: int = 3):
     loss_fn = build_loss({"name": "bce_gaussmap", "is_bimanual": True,
                           "mask_pick_heatmap": False})
     mask = trainable_mask(params, lora=True)
+    # frozen towers pre-cast to bf16 (the trainer's precast_frozen default):
+    # kills the per-step f32->bf16 weight converts + halves frozen reads
+    if bool(int(__import__("os").environ.get("BIFOLD_BENCH_PRECAST", "1"))):
+        params = precast_frozen(params, mask, jnp.bfloat16)
     tx, _ = build_optimizer(
         {"name": "adam", "lr": 1e-4, "betas": [0.9, 0.999], "eps": 1e-8,
          "weight_decay": 0}, None, max_iters=100,

@@ -171,3 +171,33 @@ def trainable_mask(params, *, lora: bool = True,
         is_lora = any(k in _ALWAYS_TRAINABLE for k in keys)
         out.append((lora and is_lora) or not in_frozen)
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def precast_frozen(params, mask, compute_dtype, *, min_size: int = 2 ** 16):
+    """Cast big FROZEN float32 leaves to the model's compute dtype, once.
+
+    Frozen tower weights never receive optimizer updates, so their f32
+    masters are dead weight: every train step re-casts them to the compute
+    dtype at use (flax dtype promotion), which reads the f32 copy and
+    writes a bf16 one — pure HBM traffic. Casting them up front is
+    value-identical (the same f32->bf16 rounding happens either way — the
+    serving path ships the same transform, test_serving_precast) and
+    removes the per-step converts plus half the frozen-weight reads.
+
+    Trainable leaves keep f32 masters (Adam needs them); small leaves
+    (LayerNorm scales, biases) stay f32 like serving's precast — some
+    consumers read them at full precision. No-op when ``compute_dtype`` is
+    f32/None. Checkpoints saved from a precast trainer store the frozen
+    tower in bf16 (half size); restoring one keeps bf16, restoring an f32
+    checkpoint re-applies the cast on the next ``prepare_train``.
+    """
+    if compute_dtype is None or compute_dtype == jnp.float32:
+        return params
+
+    def _cast(p, t):
+        if (not t and hasattr(p, "dtype") and p.dtype == jnp.float32
+                and p.size >= min_size):
+            return p.astype(compute_dtype)
+        return p
+
+    return jax.tree_util.tree_map(_cast, params, mask)

@@ -33,7 +33,8 @@ from bifold_tpu.data import get_dataloaders
 from bifold_tpu.env.action import Action
 from bifold_tpu.losses import build_loss
 from bifold_tpu.metrics import Metrics
-from bifold_tpu.models import build_model, decode_action, trainable_mask
+from bifold_tpu.models import (build_model, decode_action, precast_frozen,
+                               trainable_mask)
 from bifold_tpu.optim import build_optimizer
 from bifold_tpu.utils.checkpoint import (AsyncCheckpointer, latest_checkpoint,
                                          load_checkpoint, save_checkpoint)
@@ -154,6 +155,12 @@ class Trainer:
         max_iters = max(1, len(self.train_dataloader) * int(cfg["epochs"]))
         lora = bool(dict(cfg["model"]).get("lora", False))
         mask = trainable_mask(self.params, lora=lora)
+        # frozen towers in compute dtype (see conf/config.yaml precast_frozen)
+        self._tmask = mask
+        self._precast = bool(cfg.get("precast_frozen", True))
+        if self._precast:
+            self.params = precast_frozen(
+                self.params, mask, getattr(self.model, "dtype", None))
         sched_cfg = dict(cfg["scheduler"]) if cfg.get("scheduler") else None
         self.tx, self.schedule = build_optimizer(
             dict(cfg["optim"]), sched_cfg, max_iters=max_iters, trainable=mask,
@@ -244,6 +251,11 @@ class Trainer:
             self.extra_vars = jax.tree_util.tree_map(
                 jnp.asarray, payload["extra_vars"])
         self._place_params()
+        if getattr(self, "_precast", False):
+            # restoring an f32 checkpoint into a precast trainer: re-apply
+            # so the compiled step signature (and HBM traffic) is stable
+            self.params = precast_frozen(
+                self.params, self._tmask, getattr(self.model, "dtype", None))
         if payload.get("opt_state") is not None and self.tx is not None:
             ref = self.tx.init(self.params)
             restored = jax.tree_util.tree_map(
