@@ -280,6 +280,36 @@ class SpmSiglipTokenizer:
         return out
 
 
+class SpmT5Tokenizer:
+    """T5 sentencepiece tokenizer on our unigram engine (for the T5 branch
+    of text_unet, reference text_unet.py:56-59 — the reference tokenizes
+    instructions with the checkpoint's own T5 tokenizer).
+
+    Mirrors HF ``T5Tokenizer`` in its default legacy mode: plain unigram
+    encode with the model's own ``add_dummy_prefix`` setting (no lowercase,
+    no punctuation stripping — unlike SigLIP), append ``</s>``, right-pad
+    with ``<pad>`` (id 0)."""
+
+    def __init__(self, model_path: str | Path | bytes,
+                 context_length: int = CLIP_CONTEXT_LENGTH):
+        from bifold_tpu.data.spm import SentencePieceModel
+
+        self.spm = (SentencePieceModel.from_bytes(model_path)
+                    if isinstance(model_path, bytes)
+                    else SentencePieceModel.load(model_path))
+        self.context_length = context_length
+        self.eot = self.spm.piece_to_id("</s>")
+        self.pad = self.spm.piece_to_id("<pad>")
+        self.vocab_size = self.spm.vocab_size
+
+    def __call__(self, text: str) -> np.ndarray:
+        ids = self.spm.encode(text)
+        ids = ids[: self.context_length - 1] + [self.eot]
+        out = np.full((self.context_length,), self.pad, dtype=np.int32)
+        out[: len(ids)] = ids
+        return out
+
+
 def siglip_spm_path(autoprocessor_name: Optional[str] = None) -> Optional[Path]:
     """The SigLIP ``spiece.model`` asset: ``$BIFOLD_SIGLIP_SPM`` override,
     else a user-placed copy in the repo asset dir (``models/convert.py``
@@ -380,6 +410,21 @@ def build_tokenizer(text_encoder: Optional[str] = None,
         _warn_hash_fallback("CLIP BPE merges file")
         return HashTokenizer(_CLIP_VOCAB_SIZE, CLIP_CONTEXT_LENGTH,
                              sot=_CLIP_VOCAB_SIZE - 2, eot=_CLIP_VOCAB_SIZE - 1)
+    # local T5 checkpoint dir (the text_unet T5 branch): the dir's own
+    # spiece.model through our unigram engine — exact ids, zero setup.
+    # Without the asset, a vocab-capped hash (T5 pad=0 / eos=1) so ids
+    # never overflow the checkpoint's embedding table.
+    t5_dir = Path(str(text_encoder)) if text_encoder else None
+    if t5_dir is not None and (t5_dir / "config.json").is_file():
+        import json
+        raw = json.loads((t5_dir / "config.json").read_text())
+        if raw.get("model_type") == "t5":
+            spm = t5_dir / "spiece.model"
+            if spm.exists():
+                return SpmT5Tokenizer(spm)
+            _warn_hash_fallback(f"spiece.model in {text_encoder!r}")
+            return HashTokenizer(int(raw.get("vocab_size", 32128)),
+                                 CLIP_CONTEXT_LENGTH, sot=None, eot=1, pad=0)
     try:
         from transformers import AutoTokenizer  # noqa: WPS433
         tok = AutoTokenizer.from_pretrained(text_encoder, model_max_length=64,

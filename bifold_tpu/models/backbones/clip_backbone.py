@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from bifold_tpu.models.layers import LayerNorm, Transformer
 
-__all__ = ["ClipConfig", "ClipBackbone", "CLIP_CONFIGS"]
+__all__ = ["ClipConfig", "ClipBackbone", "CLIP_CONFIGS", "CLIP_TEXT_CONFIGS"]
 
 
 @jax.custom_vjp
@@ -76,6 +76,22 @@ CLIP_CONFIGS = {
         patch_size=14, vision_width=1024, vision_layers=24, vision_heads=16,
         text_width=768, text_heads=12, embed_dim=768,
     ),
+}
+
+# Text-tower-only configs for the ResNet-vision CLIP names in the
+# reference's _MODELS (clip/clip.py). Only the encode_text* paths are valid
+# under these — the ModifiedResNet vision tower is not implemented, and
+# text_unet (the sole consumer, text_unet.py:104-108) never touches it.
+# Text-side constants are the public CLIP release values (the reference's
+# clip.load re-derives heads as width//64). text_projection is created but
+# never consumed by text_unet (it pools PRE-projection); convert_text_unet
+# round-trips list it allowed-missing.
+CLIP_TEXT_CONFIGS = {
+    "RN50": ClipConfig(embed_dim=1024),
+    "RN101": ClipConfig(embed_dim=512),
+    "RN50x4": ClipConfig(text_width=640, text_heads=10, embed_dim=640),
+    "RN50x16": ClipConfig(text_width=768, text_heads=12, embed_dim=768),
+    "RN50x64": ClipConfig(text_width=1024, text_heads=16, embed_dim=1024),
 }
 
 

@@ -17,10 +17,13 @@ import jax.numpy as jnp
 
 from bifold_tpu.models.backbones import (
     CLIP_CONFIGS,
+    CLIP_TEXT_CONFIGS,
     ClipBackbone,
     SIGLIP_BASE_CONFIGS,
     SiglipBackbone,
     SiglipConfig,
+    T5Encoder,
+    resolve_t5_config,
 )
 from bifold_tpu.models.layers import normal_init
 from bifold_tpu.models.pickplace import PickPlaceConvDecoder, PickPlaceTransDecoder
@@ -311,13 +314,27 @@ class TextConditionedUNet(nn.Module):
 
     @nn.compact
     def __call__(self, sample, deterministic: bool = True):
-        # RN50's CLIP text tower: width 512, 12 layers, 8 heads — only the text
-        # side is used (text_unet.py:104-108), so no ResNet tower is needed.
-        clip_cfg = CLIP_CONFIGS.get(self.text_encoder, CLIP_CONFIGS["ViT-B/16"])
-        clip = ClipBackbone(cfg=clip_cfg, dtype=self.dtype, name="clip_encoder")
-        cond = clip.encode_text_with_embeddings(sample["instruction"], deterministic)
-        eot = jnp.argmax(sample["instruction"], axis=-1)
-        cond = jnp.take_along_axis(cond, eot[:, None, None], axis=1)[:, 0]
+        # Reference dispatch (text_unet.py:52-60): CLIP model names get the
+        # vendored CLIP text tower; anything else is treated as a T5
+        # checkpoint (T5EncoderModel.from_pretrained). RN50's CLIP text
+        # tower: width 512, 12 layers, 8 heads — only the text side is used
+        # (text_unet.py:104-108), so no ResNet tower is needed.
+        clip_cfg = (CLIP_CONFIGS.get(self.text_encoder)
+                    or CLIP_TEXT_CONFIGS.get(self.text_encoder))
+        if clip_cfg is not None:
+            clip = ClipBackbone(cfg=clip_cfg, dtype=self.dtype,
+                                name="clip_encoder")
+            cond = clip.encode_text_with_embeddings(
+                sample["instruction"], deterministic)
+            eot = jnp.argmax(sample["instruction"], axis=-1)
+            cond = jnp.take_along_axis(cond, eot[:, None, None], axis=1)[:, 0]
+        else:
+            # loud on unknown names: resolve_t5_config raises ValueError
+            # unless this is a known T5 config or a local T5 checkpoint dir
+            t5 = T5Encoder(cfg=resolve_t5_config(self.text_encoder),
+                           dtype=self.dtype, name="text_encoder")
+            # T5 pooling = first token of last_hidden_state (text_unet.py:107)
+            cond = t5(sample["instruction"], deterministic)[:, 0]
         cond = jax.lax.stop_gradient(cond)  # reference encodes text under no_grad
 
         x = jnp.transpose(sample["depth"], (0, 2, 3, 1)).astype(self.dtype)  # NHWC

@@ -33,7 +33,8 @@ import numpy as np
 
 __all__ = ["convert_siglip", "convert_clip", "convert_bifold",
            "convert_bifold_inverse", "convert_text_unet",
-           "convert_text_unet_inverse", "load_state_dict", "graft"]
+           "convert_text_unet_inverse", "convert_t5", "convert_t5_inverse",
+           "load_state_dict", "graft"]
 
 
 def _np(t) -> np.ndarray:
@@ -254,6 +255,85 @@ def _bn_stats(sd: Dict, prefix: str) -> Dict[str, np.ndarray]:
             "var": _np(sd[f"{prefix}.running_var"])}
 
 
+def convert_t5(sd: Dict) -> Dict:
+    """HF ``T5EncoderModel`` state dict -> params for our
+    :class:`~bifold_tpu.models.backbones.T5Encoder` (the non-CLIP branch of
+    TextConditionedUNet, reference text_unet.py:56-59).
+
+    Accepts a raw state dict or a local HF checkpoint directory path via
+    :func:`load_state_dict`. Handles both FFN variants (``wi`` for relu,
+    ``wi_0``/``wi_1`` for gated-gelu). The relative-position bias table
+    lives in block 0 (HF ``has_relative_attention_bias = (i == 0)``) and is
+    shared by every layer — ours stores it once at the encoder level.
+    """
+    out: Dict[str, Any] = {
+        "shared": {"embedding": _np(sd["shared.weight"]
+                                    if "shared.weight" in sd
+                                    else sd["encoder.embed_tokens.weight"])},
+        "relative_attention_bias": {"embedding": _np(
+            sd["encoder.block.0.layer.0.SelfAttention"
+               ".relative_attention_bias.weight"])},
+        "final_layer_norm": {"scale": _np(sd["encoder.final_layer_norm"
+                                             ".weight"])},
+    }
+    n = _max_index(sd, r"^encoder\.block\.")
+    for i in range(n):
+        p = f"encoder.block.{i}."
+        out[f"block_{i}_ln_attn"] = {
+            "scale": _np(sd[p + "layer.0.layer_norm.weight"])}
+        for m in "qkvo":
+            out[f"block_{i}_{m}"] = {
+                "kernel": _np(sd[p + f"layer.0.SelfAttention.{m}.weight"]).T}
+        out[f"block_{i}_ln_ffn"] = {
+            "scale": _np(sd[p + "layer.1.layer_norm.weight"])}
+        ff = p + "layer.1.DenseReluDense."
+        if ff + "wi.weight" in sd:
+            out[f"block_{i}_wi"] = {"kernel": _np(sd[ff + "wi.weight"]).T}
+        else:
+            out[f"block_{i}_wi_0"] = {"kernel": _np(sd[ff + "wi_0.weight"]).T}
+            out[f"block_{i}_wi_1"] = {"kernel": _np(sd[ff + "wi_1.weight"]).T}
+        out[f"block_{i}_wo"] = {"kernel": _np(sd[ff + "wo.weight"]).T}
+    return out
+
+
+def convert_t5_inverse(params: Dict) -> Dict:
+    """Our T5Encoder params -> HF T5EncoderModel state-dict naming (inverse
+    of :func:`convert_t5`). ``encoder.embed_tokens.weight`` is emitted as
+    well (HF ties it to ``shared.weight``)."""
+    out: Dict[str, Any] = {}
+    emb = np.asarray(params["shared"]["embedding"])
+    out["shared.weight"] = emb
+    out["encoder.embed_tokens.weight"] = emb
+    out["encoder.block.0.layer.0.SelfAttention"
+        ".relative_attention_bias.weight"] = \
+        np.asarray(params["relative_attention_bias"]["embedding"])
+    out["encoder.final_layer_norm.weight"] = \
+        np.asarray(params["final_layer_norm"]["scale"])
+    i = 0
+    while f"block_{i}_q" in params:
+        p = f"encoder.block.{i}."
+        out[p + "layer.0.layer_norm.weight"] = \
+            np.asarray(params[f"block_{i}_ln_attn"]["scale"])
+        for m in "qkvo":
+            out[p + f"layer.0.SelfAttention.{m}.weight"] = \
+                np.asarray(params[f"block_{i}_{m}"]["kernel"]).T
+        out[p + "layer.1.layer_norm.weight"] = \
+            np.asarray(params[f"block_{i}_ln_ffn"]["scale"])
+        ff = p + "layer.1.DenseReluDense."
+        if f"block_{i}_wi" in params:
+            out[ff + "wi.weight"] = \
+                np.asarray(params[f"block_{i}_wi"]["kernel"]).T
+        else:
+            out[ff + "wi_0.weight"] = \
+                np.asarray(params[f"block_{i}_wi_0"]["kernel"]).T
+            out[ff + "wi_1.weight"] = \
+                np.asarray(params[f"block_{i}_wi_1"]["kernel"]).T
+        out[ff + "wo.weight"] = \
+            np.asarray(params[f"block_{i}_wo"]["kernel"]).T
+        i += 1
+    return out
+
+
 def convert_text_unet(sd: Dict, *, scan_layers: bool = True
                       ) -> Tuple[Dict, Dict]:
     """Reference TextConditionedUNet state dict (text_unet.py:47-140) ->
@@ -276,6 +356,10 @@ def convert_text_unet(sd: Dict, *, scan_layers: bool = True
             r"resblocks\.")
         full = _convert_clip_openai_text(clip_sd, t_layers, scan_layers)
         params["clip_encoder"] = full
+    t5_sd = {k.removeprefix("text_encoder."): v for k, v in sd.items()
+             if k.startswith("text_encoder.")}
+    if t5_sd:  # the T5 branch (text_unet.py:56-59)
+        params["text_encoder"] = convert_t5(t5_sd)
 
     n_enc = _max_index(sd, r"^encoder\.")
     for i in range(n_enc):
@@ -662,6 +746,9 @@ def convert_text_unet_inverse(params: Dict, batch_stats: Dict) -> Dict:
     out: Dict[str, Any] = {}
     if "clip_encoder" in params:
         _inv_clip_text(out, "clip_encoder.", params["clip_encoder"]["text"])
+    if "text_encoder" in params:  # T5 branch
+        for k, v in convert_t5_inverse(params["text_encoder"]).items():
+            out["text_encoder." + k] = v
 
     def inv_conv(prefix: str, conv: Dict) -> None:
         out[prefix + ".weight"] = \
@@ -764,7 +851,7 @@ def main() -> None:
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--checkpoint", required=True)
-    ap.add_argument("--arch", choices=["siglip", "clip", "bifold"],
+    ap.add_argument("--arch", choices=["siglip", "clip", "bifold", "t5"],
                     help="forward direction only (--inverse infers the "
                          "family from the checkpoint tree). "
                          "siglip/clip: a pretrained tower checkpoint; "
@@ -792,9 +879,19 @@ def main() -> None:
                 params, (payload.get("extra_vars") or {})["batch_stats"])
         else:
             sd = convert_bifold_inverse(params)
+        def _torchable(v):
+            # Trainer checkpoints saved with precast_frozen=true store frozen
+            # towers as ml_dtypes bfloat16 numpy arrays, which torch.tensor
+            # rejects. The reference's .pth files are f32; upcast any
+            # non-f32/f64 float leaf (bf16/f16) to f32 at the boundary.
+            v = np.ascontiguousarray(v)
+            if v.dtype.kind == "V" or (v.dtype.kind == "f"
+                                       and v.dtype.itemsize < 4):
+                v = v.astype(np.float32)
+            return torch.tensor(v)
+
         torch.save(
-            {"model": {k: torch.tensor(np.ascontiguousarray(v))
-                       for k, v in sd.items()},
+            {"model": {k: _torchable(v) for k, v in sd.items()},
              "epoch": int(payload.get("epoch", 0))}, args.out)
         print(f"[convert] wrote reference-format {args.out} "
               f"({len(sd)} tensors)")
@@ -804,6 +901,10 @@ def main() -> None:
     sd = load_state_dict(args.checkpoint)
     if args.arch == "siglip":
         converted = convert_siglip(sd, layers=args.layers, lora=args.lora)
+    elif args.arch == "t5":
+        # standalone HF T5 encoder dir/checkpoint -> text_unet's
+        # text_encoder subtree (reference text_unet.py:56-59 from_pretrained)
+        converted = convert_t5(sd)
     elif args.arch == "bifold":
         if any(k.startswith("encoder.0.0") for k in sd):
             # TextConditionedUNet checkpoint: params + BN running stats

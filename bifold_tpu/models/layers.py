@@ -439,6 +439,33 @@ class TransformerBlock(nn.Module):
         return s2, m
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _unstack(depth, v):
+    """Split a depth-stacked array into per-layer slices with a transpose
+    that writes the stacked cotangent ONCE.
+
+    Plain indexing (``v[i]``) — and lax.scan's unrolled AD — transpose to a
+    dynamic-update-slice CHAIN on the stacked gradient buffer; profiled on
+    v5e (r5, BENCH_NOTES.md) each link copies the ENTIRE buffer (~0.17 ms
+    for the (8, 3072, 768) fusion-MLP grads), ~3.3 ms/step of pure copy at
+    the flagship shape. ``jnp.stack`` lowers to one concatenate that writes
+    each slice exactly once. Applied PER LEAF so frozen stacked kernels
+    (constants under partitioned gradients) stay off the AD path entirely.
+    """
+    return tuple(v[i] for i in range(depth))
+
+
+def _unstack_fwd(depth, v):
+    return _unstack(depth, v), None
+
+
+def _unstack_bwd(depth, _, cts):
+    return (jnp.stack(cts),)
+
+
+_unstack.defvjp(_unstack_fwd, _unstack_bwd)
+
+
 class _ScanBody(nn.Module):
     """One block as a scan step: carry = activations, per-step params.
 
@@ -597,6 +624,74 @@ class Transformer(nn.Module):
             mesh=mesh, microbatches=m)
         return out
 
+    def _explicit_unroll(self, x, key_mask, legacy_query_mask, deterministic,
+                         fused_res):
+        """Fully-unrolled execution WITHOUT lax.scan: reads the same
+        ``blocks/block`` depth-stacked params the scan path trains and
+        checkpoints (layout identical either way) and loops blocks in
+        Python, with each stacked leaf split through :func:`_unstack` so the
+        backward writes stacked gradients once instead of through the
+        DUS-copy chain lax.scan's unrolled AD emits. MEASURED r5 (v5e,
+        BENCH_NOTES.md) and DEFAULTED OFF: the chain's bytes halve (XLA
+        commutes the stack with the bf16 convert) but step time is neutral
+        — train 74.06 vs 74.41 ms (+0.5%, within ±6% tunnel noise), device
+        busy 71.9 vs 72.2 ms — the DUS copies overlap with compute; and
+        forward-only programs are WORSE (serve on-chip 3.578 vs 3.296 ms,
+        +8.5%, reproduced twice same-process). Returns None (caller falls
+        through to nn.scan) unless BIFOLD_UNROLL_IMPL=explicit, at init
+        time, or for MoE blocks (per-layer sown aux losses).
+
+        Dropout note: per-layer keys come from one jax.random.split, which
+        is not bit-equal to nn.scan's split_rngs stream — same
+        distribution, different masks. Deterministic passes are exact."""
+        import os
+        if (self.moe_experts > 0 or self.is_initializing()
+                or os.environ.get("BIFOLD_UNROLL_IMPL", "scan") != "explicit"):
+            return None
+        blocks = self.get_variable("params", "blocks")
+        if not blocks or "block" not in blocks:
+            return None
+        stacked = blocks["block"]
+        depth = self.depth
+        unstacked = jax.tree_util.tree_map(
+            lambda v: _unstack(depth, v), stacked)
+        is_tup = lambda t: isinstance(t, tuple)  # noqa: E731
+        layers = [jax.tree_util.tree_map(lambda t: t[i], unstacked,
+                                         is_leaf=is_tup)
+                  for i in range(depth)]
+        det = bool(deterministic)
+        needs_rng = (not det
+                     and (self.dropout > 0 or self.lora_dropout > 0)
+                     and self.has_rng("dropout"))
+        keys = (jax.random.split(self.make_rng("dropout"), depth)
+                if needs_rng else [None] * depth)
+        # parent=None: functional .apply with explicit params (same pattern
+        # as _maybe_pipeline) — must not register as a child module
+        block = TransformerBlock(**self._block_kwargs(), parent=None)
+
+        def apply_block(p, carry, rng):
+            rngs = {"dropout": rng} if rng is not None else None
+            if fused_res:
+                xx, pending = carry
+                s, m = block.apply({"params": p}, xx, key_mask,
+                                   pending=pending,
+                                   legacy_query_mask=legacy_query_mask,
+                                   deterministic=det, rngs=rngs)
+                return (s, m)
+            return block.apply({"params": p}, carry, key_mask,
+                               legacy_query_mask=legacy_query_mask,
+                               deterministic=det, rngs=rngs)
+
+        if self.remat:
+            apply_block = jax.checkpoint(apply_block)
+        carry = (x, jnp.zeros_like(x)) if fused_res else x
+        for i in range(depth):
+            carry = apply_block(layers[i], carry, keys[i])
+        if fused_res:
+            s, m = carry
+            return s + m
+        return carry
+
     @nn.compact
     def __call__(self, x, key_mask=None, *, legacy_query_mask=None, deterministic=True):
         from bifold_tpu.ops.layer_norm import ln_mode
@@ -626,6 +721,15 @@ class Transformer(nn.Module):
             else:
                 on_tpu = jax.default_backend() in ("tpu", "axon")
                 unroll = self.depth if on_tpu else 1
+            if unroll == self.depth:
+                # full unroll without lax.scan — same stacked param layout,
+                # single-write stacked gradients. A/B'd NEUTRAL for train
+                # and worse for serve, so opt-in only (BIFOLD_UNROLL_IMPL=
+                # explicit; see _explicit_unroll + BENCH_NOTES.md)
+                out = self._explicit_unroll(x, key_mask, legacy_query_mask,
+                                            deterministic, fused_res)
+                if out is not None:
+                    return out
             scan = nn.scan(
                 _ScanBody,
                 # moe_losses: per-layer sown load-balance scalars stack over

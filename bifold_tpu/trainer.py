@@ -108,6 +108,7 @@ class Trainer:
         self.params = variables["params"]
         self.extra_vars = {k: v for k, v in variables.items() if k != "params"}
         self.has_batch_stats = "batch_stats" in self.extra_vars
+        self._maybe_load_t5_weights()
 
         self._place_params()
         self.metrics = Metrics(dict(cfg["metrics"]))
@@ -140,6 +141,25 @@ class Trainer:
               f"mesh={dict(self.mesh.shape)} devices={len(jax.devices())}")
 
     # ------------------------------------------------------------------
+
+    def _maybe_load_t5_weights(self) -> None:
+        """T5-branch from_pretrained semantics (text_unet.py:56-59): when
+        ``model.text_encoder`` is a local HF checkpoint DIRECTORY that also
+        carries weights, graft them into the freshly-initialized
+        ``text_encoder`` subtree. A config.json-only dir (random init, for
+        smokes/tests) is left alone; CLIP names never reach here."""
+        enc = dict(self.cfg["model"]).get("text_encoder")
+        if ("text_encoder" not in self.params or not enc
+                or not Path(str(enc)).is_dir()):
+            return
+        d = Path(str(enc))
+        if not any((d / n).exists()
+                   for n in ("model.safetensors", "pytorch_model.bin")):
+            return
+        from bifold_tpu.models.convert import convert_t5, graft, load_state_dict
+        converted = convert_t5(load_state_dict(d))
+        self.params = graft(self.params, "text_encoder", converted)
+        print(f"[trainer] loaded pretrained T5 text encoder from {d}")
 
     def _place_params(self) -> None:
         shardings = parallel.param_sharding(self.mesh, self.params)
@@ -256,6 +276,21 @@ class Trainer:
             # so the compiled step signature (and HBM traffic) is stable
             self.params = precast_frozen(
                 self.params, self._tmask, getattr(self.model, "dtype", None))
+        else:
+            # the opt-out flag cannot UN-round: a checkpoint written under
+            # precast_frozen=true stores frozen towers already bf16-rounded,
+            # and the f32 masters are gone. Warn so a silent dtype mismatch
+            # (ADVICE r4) never masquerades as f32-master behavior.
+            low = [jax.tree_util.keystr(p)
+                   for p, v in jax.tree_util.tree_leaves_with_path(self.params)
+                   if hasattr(v, "dtype") and v.dtype == jnp.bfloat16]
+            if low:
+                import warnings
+                warnings.warn(
+                    f"precast_frozen=false but {len(low)} restored leaves are "
+                    f"bfloat16 (checkpoint was saved under precast_frozen="
+                    f"true; f32 masters are unrecoverable), e.g. {low[0]}",
+                    stacklevel=2)
         if payload.get("opt_state") is not None and self.tx is not None:
             ref = self.tx.init(self.params)
             restored = jax.tree_util.tree_map(

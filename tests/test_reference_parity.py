@@ -476,6 +476,80 @@ def test_text_unet_full_forward_parity(tmp_path, monkeypatch):
         assert err < 1e-4, f"{h}_heatmap max err {err}"
 
 
+def test_text_unet_t5_full_forward_parity(tmp_path):
+    """End-to-end parity for the T5 BRANCH of TextConditionedUNet
+    (text_unet.py:56-59: non-CLIP names go to
+    T5EncoderModel.from_pretrained; :107 pools last_hidden_state[:, 0]) —
+    reference constructed from a local tiny T5 checkpoint dir vs our
+    text_unet via convert_text_unet, every heatmap <= 1e-4, plus the
+    bitwise inverse round-trip of the T5 subtree."""
+    import jax
+    import jax.numpy as jnp
+    from transformers import T5Config as HFT5Config
+    from transformers import T5EncoderModel
+
+    from bifold.models.text_unet import TextConditionedUNet as RefUNet
+
+    from bifold_tpu.models import build_model
+    from bifold_tpu.models.convert import (convert_text_unet,
+                                           convert_text_unet_inverse, graft)
+
+    vocab = 100
+    t5_dir = tmp_path / "tiny-t5"
+    hf_cfg = HFT5Config(vocab_size=vocab, d_model=32, d_kv=16, d_ff=64,
+                        num_layers=2, num_heads=2, dropout_rate=0.1,
+                        feed_forward_proj="gated-gelu")
+    torch.manual_seed(1)
+    T5EncoderModel(hf_cfg).eval().save_pretrained(
+        str(t5_dir), safe_serialization=True)
+
+    img, features = 32, (8, 16)
+    torch.manual_seed(2)
+    ref = RefUNet(text_encoder=str(t5_dir), features=list(features),
+                  image_size=img, is_bimanual=True, device="cpu")
+    rng = np.random.default_rng(5)
+    ref.train()
+    with torch.no_grad():
+        for _ in range(3):  # move BN running stats off init
+            ref({"depth": torch.tensor(
+                     rng.standard_normal((2, 1, img, img)).astype(np.float32)),
+                 "instruction": torch.tensor(
+                     rng.integers(0, vocab, (2, 16))).long()})
+    ref.eval()
+
+    sample = {
+        "depth": rng.standard_normal((2, 1, img, img)).astype(np.float32),
+        "instruction": rng.integers(0, vocab, (2, 16)).astype(np.int32),
+    }
+    with torch.no_grad():
+        ref_out = ref(_torchify(sample))
+
+    ours = build_model({
+        "name": "text_unet", "image_size": img, "is_bimanual": True,
+        "text_encoder": str(t5_dir), "features": list(features),
+    })
+    jb = {k: jnp.asarray(v) for k, v in sample.items()}
+    variables = jax.jit(
+        lambda: ours.init(jax.random.key(0), jb, deterministic=True))()
+    conv_params, conv_stats = convert_text_unet(ref.state_dict())
+    params = graft({"m": variables["params"]}, "m", conv_params)["m"]
+    stats = graft({"m": variables["batch_stats"]}, "m", conv_stats)["m"]
+    out = jax.jit(lambda v, b: ours.apply(v, b, deterministic=True))(
+        {"params": params, "batch_stats": stats}, jb)
+    for h in ("left_pick", "right_pick", "left_place", "right_place"):
+        err = np.abs(np.asarray(out[f"{h}_heatmap"])
+                     - ref_out[f"{h}_heatmap"].numpy()).max()
+        assert err < 1e-4, f"{h}_heatmap max err {err}"
+
+    # inverse: T5 subtree round-trips bitwise into the reference naming
+    inv = convert_text_unet_inverse(params, stats)
+    sd = ref.state_dict()
+    for k in sd:
+        if k.startswith("text_encoder."):
+            np.testing.assert_array_equal(np.asarray(inv[k]),
+                                          sd[k].numpy(), err_msg=k)
+
+
 def test_decoded_action_parity(hf_dir):
     """Same decoded Action as the reference's get_action: argmax + mask snap +
     dual-arm confidence gating (at the reference's hardcoded 0.01)."""

@@ -6,7 +6,12 @@ works). Aggregates device-plane event durations by op-name prefix; nested
 while/attention rows double-count, so group totals are indicative — compare
 groups to each other and across runs, not to wall-clock.
 
-Usage: python tools/profile_step.py [steps]
+Usage: python tools/profile_step.py [steps] [scan_k]
+
+scan_k defaults to the shipped steps_per_dispatch (8): the trace then covers
+the REAL benched program (k stacked micro-steps in one lax.scan dispatch),
+and every per-step figure divides by steps*scan_k. Pass scan_k=1 for the
+raw single-step program.
 """
 
 from __future__ import annotations
@@ -27,22 +32,33 @@ def main():
     jax.config.update("jax_compilation_cache_dir", str(ROOT / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    scan_k = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 
     sys.path.insert(0, str(ROOT))
     import bench
+    import jax.numpy as jnp
+
+    from bifold_tpu import parallel
 
     (model, proc, raw, device_batch, params, opt_state,
      step) = bench._flagship(batch=2)
     state = (params, opt_state, {}, jax.random.key(0))
+    if scan_k > 1:
+        run = parallel.make_scan_train_step(step, scan_k, donate=True)
+        run_batch = {k: jnp.broadcast_to(v[None], (scan_k,) + v.shape)
+                     for k, v in device_batch.items()}
+    else:
+        run, run_batch = step, device_batch
+    micro_steps = steps * scan_k
     for _ in range(2):
-        state, metrics = step(state, device_batch)
+        state, metrics = run(state, run_batch)
     float(metrics["loss"])
 
     import shutil
     shutil.rmtree("/tmp/prof", ignore_errors=True)
     jax.profiler.start_trace("/tmp/prof")
     for _ in range(steps):
-        state, metrics = step(state, device_batch)
+        state, metrics = run(state, run_batch)
     float(metrics["loss"])
     jax.profiler.stop_trace()
 
@@ -50,8 +66,9 @@ def main():
     from xplane import device_busy_ms
 
     print(f"== interval-merged device busy: "
-          f"{device_busy_ms('/tmp/prof') / steps:.1f} ms/step "
-          f"(honest wall; the per-op rows below double-count nesting)")
+          f"{device_busy_ms('/tmp/prof') / micro_steps:.1f} ms/step "
+          f"(scan_k={scan_k}; honest wall; the per-op rows below "
+          f"double-count nesting)")
 
     from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
     path = sorted(glob("/tmp/prof/**/*.xplane.pb", recursive=True))[-1]
@@ -96,7 +113,8 @@ def main():
                 g = "other"
             groups[g] += ms
 
-        print(f"== plane {plane.name}: top ops over {steps} steps (ms total)")
+        print(f"== plane {plane.name}: top ops over {micro_steps} "
+              f"micro-steps (ms total)")
         for name, ms in sorted(totals.items(), key=lambda kv: -kv[1])[:28]:
             print(f"{ms:9.3f} ms  x{counts[name]:<5d} {name[:100]}")
         print("-- groups (indicative; nested rows double-count)")
