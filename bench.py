@@ -63,6 +63,8 @@ def _flagship(batch: int, image_size: int = 384, context: int = 3):
         raw[k] = lab
 
     from bifold_tpu.data.processor import Processor
+    from bifold_tpu.data.tokenizers import ensure_spm_fixture
+    ensure_spm_fixture()  # exact Viterbi tokenization, never hash fallback
     proc = Processor(
         {"model_image_size": s, "text_encoder": None, "sigma": 5,
          "requires_graph": False, "spatial_augment": True, "strategy": "gmm",
@@ -143,6 +145,24 @@ def bench_train(batch: int, steps: int = 10, warmup: int = 2):
             return None
 
     flops = count_flops(step)
+
+    # compiled peak HBM of the SHIPPED dispatch program (the k-step scan
+    # when scan_k>1) — XLA's own buffer-assignment peak, so memory
+    # regressions (remat/batch/layout changes) show up in the driver
+    # artifact (VERDICT r4 weak #6; definitions in BENCH_NOTES.md).
+    # lower().compile() hits the same executable cache the timed loop used.
+    mem = {}
+    try:
+        ma = run.lower(state, run_batch).compile().memory_analysis()
+        if isinstance(ma, (list, tuple)):
+            ma = ma[0]
+        mem = {
+            "train_peak_hbm_bytes": int(ma.peak_memory_in_bytes),
+            "train_args_bytes": int(ma.argument_size_in_bytes),
+            "train_temp_bytes": int(ma.temp_size_in_bytes),
+        }
+    except Exception:  # noqa: BLE001 - best-effort introspection
+        pass
     # the flash kernels are opaque custom-calls XLA counts as 0 flops; add
     # their architecture FLOPs analytically (unpadded shapes, 2 flops/MAC;
     # fwd = qk + pv, fused bwd = s-recompute + dp + dv + dk + dq = 5
@@ -161,7 +181,7 @@ def bench_train(batch: int, steps: int = 10, warmup: int = 2):
     flops_flash = (attn_flops(batch, 16, 65 + (context + 1) * 577, 48, 8)
                    + attn_flops(batch * (context + 1), 12, 577, 64, 12))
     flops_total = (flops + flops_flash) if flops else None
-    return batch / dt, dt, loss, flops, flops_total
+    return batch / dt, dt, loss, flops, flops_total, mem
 
 
 def bench_latency(image_size: int = 384, iters: int = 30):
@@ -180,6 +200,8 @@ def bench_latency(image_size: int = 384, iters: int = 30):
         "patch_size": 16, "automodel_name": "siglip-base", "dim": 768,
         "lora": False, "depth": 8, "heads": 16,
     }, dtype=jnp.bfloat16)
+    from bifold_tpu.data.tokenizers import ensure_spm_fixture
+    ensure_spm_fixture()  # exact Viterbi tokenization, never hash fallback
     proc = Processor(
         {"model_image_size": image_size, "text_encoder": None, "sigma": 5,
          "requires_graph": False, "spatial_augment": False, "strategy": "gmm",
@@ -245,7 +267,31 @@ def bench_latency(image_size: int = 384, iters: int = 30):
         float(null(flat))
         floor.append(time.time() - t0)
     floor_ms = float(np.median(floor) * 1e3)
-    return p50, floor_ms, n_bytes, onchip_ms
+
+    # memory footprint of the serving stack (VERDICT r4 weak #6): compiled
+    # peak HBM of the one-dispatch serve program + weight bytes under the
+    # three storage options (f32 masters / shipped bf16 precast / int8).
+    # int8 sizes come from eval_shape over the REAL quantizer (its own
+    # per-leaf inclusion rules), no device work.
+    def _tree_bytes(tree):
+        return int(sum(np.prod(x.shape) * x.dtype.itemsize if hasattr(x, "shape")
+                       else np.asarray(x).nbytes
+                       for x in jax.tree_util.tree_leaves(tree)))
+
+    mem = {}
+    try:
+        ma = server.program_memory(rgb=rgb, depth=depth, mask=mask,
+                                   instruction=instruction)
+        if ma is not None:
+            mem["serve_peak_hbm_bytes"] = int(ma.peak_memory_in_bytes)
+        from bifold_tpu.serving import quantize_weights
+        mem["serve_weights_bytes_f32"] = _tree_bytes(variables)
+        mem["serve_weights_bytes_precast"] = _tree_bytes(server.variables)
+        mem["serve_weights_bytes_int8"] = _tree_bytes(
+            jax.eval_shape(quantize_weights, variables))
+    except Exception:  # noqa: BLE001 - best-effort introspection
+        pass
+    return p50, floor_ms, n_bytes, onchip_ms, mem
 
 
 def _arm_watchdog(seconds: float, what: str):
@@ -301,9 +347,11 @@ def main():
     import os
     batch = int(os.environ.get("BIFOLD_BENCH_BATCH", 2))
     throughput = step_time = loss = flops = flops_total = None
+    train_mem = {}
     while batch >= 1:
         try:
-            throughput, step_time, loss, flops, flops_total = bench_train(batch)
+            (throughput, step_time, loss, flops, flops_total,
+             train_mem) = bench_train(batch)
             break
         except Exception as e:  # noqa: BLE001 - retry smaller on OOM
             if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
@@ -312,8 +360,10 @@ def main():
             raise
     per_chip = throughput / n_chips
 
+    serve_mem = {}
     try:
-        p50_ms, tunnel_floor_ms, obs_bytes, onchip_measured_ms = bench_latency()
+        (p50_ms, tunnel_floor_ms, obs_bytes, onchip_measured_ms,
+         serve_mem) = bench_latency()
     except Exception:  # noqa: BLE001
         p50_ms = tunnel_floor_ms = obs_bytes = onchip_measured_ms = None
 
@@ -371,6 +421,11 @@ def main():
                                      and tunnel_floor_ms is not None
                                      else None),
         "baseline_torch_cpu_samples_per_sec": baseline,
+        # compiled peak HBM (XLA buffer assignment) of the shipped train
+        # dispatch + the one-dispatch serve program, and serving weight
+        # bytes per storage option — definitions in BENCH_NOTES.md
+        **train_mem,
+        **serve_mem,
     }))
 
 

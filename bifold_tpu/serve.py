@@ -49,18 +49,28 @@ __all__ = ["build_server", "make_httpd", "RemotePolicy", "main"]
 
 def build_server(run_dir=None, checkpoint=None, config=None, artifact=None,
                  which: str = "best", depth_wire: str = "float16",
-                 quantize=None, threshold=None):
+                 quantize=None, threshold=None, mesh=None):
     """Resolve CLI-ish inputs into a ServingModel / ExportedServingModel.
 
     ``run_dir``: a training output dir — uses its ``config.yaml`` snapshot
     and ``checkpoints/{best|last}.ckpt`` (``which``; best falls back to
     last, mirroring the trainer's eval loading). ``checkpoint`` + ``config``
     name the files explicitly. ``artifact`` loads a jax.export artifact.
+    ``mesh``: a ``jax.sharding.Mesh`` or an axis dict (``{"dp": 2, "tp": 4}``
+    / the CLI's ``--mesh dp=2,tp=4``) — tp/fsdp-shards the weights and the
+    pooled-batch data axes across local devices (multi-chip serving).
+    Artifacts are topology-pinned and refuse a mesh.
     """
     from bifold_tpu.serving import ServingModel
 
     if artifact is not None:
+        if mesh is not None:
+            raise ValueError("--artifact is topology-pinned at export time; "
+                             "--mesh requires --run-dir or --checkpoint")
         return ServingModel.load_exported(artifact)
+    if mesh is not None and not hasattr(mesh, "devices"):
+        from bifold_tpu import parallel
+        mesh = parallel.make_mesh(dict(mesh))
     if run_dir is not None:
         run_dir = Path(run_dir)
         config = config or run_dir / "config.yaml"
@@ -75,7 +85,7 @@ def build_server(run_dir=None, checkpoint=None, config=None, artifact=None,
     cfg = load_yaml(config) if not isinstance(config, dict) else config
     return ServingModel.from_checkpoint(
         str(checkpoint), cfg, threshold=threshold,
-        depth_wire_dtype=depth_wire, quantize=quantize)
+        depth_wire_dtype=depth_wire, quantize=quantize, mesh=mesh)
 
 
 def _parse_observations(body: bytes):
@@ -496,6 +506,12 @@ def main(argv=None) -> int:
     p.add_argument("--depth-wire", default="float16",
                    choices=("float32", "float16"))
     p.add_argument("--quantize", default=None, choices=(None, "int8"))
+    p.add_argument("--mesh", default=None, metavar="dp=2,tp=4",
+                   help="shard serving over the local devices: comma-"
+                        "separated mesh axes (dp/fsdp/tp/sp). Weights "
+                        "tp/fsdp-shard; pooled batches shard over the data "
+                        "axes. Incompatible with --artifact (topology-"
+                        "pinned at export)")
     p.add_argument("--threshold", type=float, default=None)
     p.add_argument("--warmup", type=int, default=None, metavar="SIZE",
                    help="pre-compile for SIZE x SIZE inputs before listening")
@@ -507,10 +523,18 @@ def main(argv=None) -> int:
                         "company before dispatching")
     a = p.parse_args(argv)
 
+    mesh = None
+    if a.mesh:
+        try:
+            mesh = {k.strip(): int(v) for k, v in
+                    (kv.split("=") for kv in a.mesh.split(","))}
+        except ValueError:
+            p.error(f"--mesh wants comma-separated axis=size pairs, "
+                    f"got {a.mesh!r}")
     server = build_server(run_dir=a.run_dir, checkpoint=a.checkpoint,
                           config=a.config, artifact=a.artifact, which=a.which,
                           depth_wire=a.depth_wire, quantize=a.quantize,
-                          threshold=a.threshold)
+                          threshold=a.threshold, mesh=mesh)
     if a.warmup:
         # the dynamic batcher dispatches at pad_to=max_batch — a different
         # program shape than batch-1, so warm BOTH or the first coalesced

@@ -442,6 +442,30 @@ class ServingModel:
                 lambda a: np.asarray(a)[:n], out)
         return action
 
+    def program_memory(self, rgb=None, depth=None, mask=None,
+                       instruction: str = "", context=None):
+        """``CompiledMemoryStats`` of the one-dispatch serve program for
+        this observation shape (same jit cache predict uses — no extra
+        compile after a warmup/predict at the shape). None for graph models
+        or when the backend doesn't support memory analysis. Feeds the
+        bench contract's serve_peak_hbm_bytes (BENCH_NOTES.md)."""
+        if self.processor.requires_graph:
+            return None
+        raws = [self.processor.make_raw(rgb=rgb, depth=depth, mask=mask,
+                                        instruction=instruction,
+                                        context=context)]
+        batched = _stack_raws(raws)
+        spec = self.processor._spec(batched)
+        flat, schema = _pack_observation(batched, self._depth_wire_f16)
+        prog = self._e2e_program(spec, tuple(schema))
+        try:
+            ma = prog.lower(self.variables, flat).compile().memory_analysis()
+            if isinstance(ma, (list, tuple)):
+                ma = ma[0]
+            return ma
+        except Exception:  # noqa: BLE001 - best-effort introspection
+            return None
+
     def _predict_two_dispatch(self, rgb, depth, mask, instruction, context,
                               return_raw_output):
         """Processor dispatch + serve dispatch (graph models only)."""

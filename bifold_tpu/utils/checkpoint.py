@@ -7,6 +7,14 @@ Here the same contract holds for the JAX stack: params/opt-state pytrees
 (host-fetched), the jax PRNG key, numpy and python RNG states, epoch and
 best-metric value. ``last.ckpt`` / ``best.ckpt`` naming mirrors
 ``last.pth``/``best.pth``.
+
+ELASTIC-RESUME GUARANTEE: every array is stored as a fully-gathered host
+numpy array — no mesh topology, device count, or sharding layout is baked
+into the file. A run checkpointed under one mesh resumes under ANY other
+(different axis layout, device count, or ``steps_per_dispatch``) with the
+same training trajectory up to cross-topology float-order noise; proven by
+tests/test_elastic_resume.py (dp=2 x fsdp=2 x tp=2 -> dp=8 / single device /
+steps_per_dispatch 1 -> 3, SGD trajectories equal to the uninterrupted run).
 """
 
 from __future__ import annotations
