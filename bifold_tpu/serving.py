@@ -249,8 +249,13 @@ class ServingModel:
         self.quantize = quantize
         if quantize == "int8":
             # weight-only int8 (per-output-channel symmetric), quantized
-            # straight from the checkpoint's f32 masters; supersedes the
-            # bf16 precast for the big leaves (dequant emits compute dtype)
+            # from the checkpoint as stored — f32 masters for reference-
+            # converted checkpoints; bf16-rounded frozen towers for trainer
+            # checkpoints saved under the precast_frozen default (the
+            # full-scale decision check trains through the precast path, so
+            # its argmax-agreement result covers exactly this case).
+            # Supersedes the bf16 precast for the big leaves (dequant emits
+            # compute dtype)
             self.variables = quantize_weights(self.variables,
                                               min_size=quantize_min_size)
             cast_params = False

@@ -116,3 +116,80 @@ def test_precast_noop_for_f32_compute():
     assert out is params
     out = precast_frozen(params, mask, None)
     assert out is params
+
+
+def _forward_equality(model, sample, *, lora, extra_vars=None, rngs=None):
+    """init -> precast big frozen leaves -> bitwise-equal forward."""
+    variables = jax.jit(lambda: model.init(
+        jax.random.key(0), sample, deterministic=True))()
+    params = variables["params"]
+    mask = trainable_mask(params, lora=lora)
+    cast = precast_frozen(params, mask, jnp.bfloat16, min_size=1024)
+    changed = [(a, b) for a, b in zip(jax.tree_util.tree_leaves(params),
+                                      jax.tree_util.tree_leaves(cast))
+               if a.dtype != b.dtype]
+    assert changed, "no frozen leaf was cast — the lever is a no-op"
+    extra = {k: v for k, v in variables.items() if k != "params"}
+
+    def fwd(p):
+        return model.apply({"params": p, **extra}, sample,
+                           deterministic=True)
+
+    a = jax.jit(fwd)(params)
+    b = jax.jit(fwd)(cast)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                      err_msg=k)
+
+
+def test_precast_forward_equal_rgb_clip():
+    """ADVICE r4: the trainer precasts ALL families — rgb_clip's frozen
+    clip_encoder must be value-identical cast-at-use vs precast."""
+    from bifold_tpu.models.backbones import clip_backbone as CB
+
+    tiny = CB.ClipConfig(image_size=IMG, patch_size=16, vision_width=64,
+                         vision_layers=2, vision_heads=4, text_width=32,
+                         text_layers=2, text_heads=4, context_length=16,
+                         vocab_size=1000, embed_dim=32)
+    orig = dict(CB.CLIP_CONFIGS)
+    CB.CLIP_CONFIGS["tiny_precast"] = tiny
+    try:
+        model = build_model({
+            "name": "rgb_clip", "image_size": IMG, "is_bimanual": False,
+            "patch_size": 16, "text_encoder": "tiny_precast", "depth": 2,
+            "heads": 4, "mlp_ratio": 2, "dropout": 0.0,
+        }, dtype=jnp.bfloat16)
+        rng = np.random.default_rng(0)
+        sample = {
+            "rgb": jnp.asarray(rng.standard_normal((2, 3, IMG, IMG)),
+                               jnp.float32),
+            "mask": jnp.asarray((rng.random((2, 1, IMG, IMG)) > 0.5),
+                                jnp.float32),
+            "instruction": jnp.asarray(rng.integers(0, 1000, (2, 16)),
+                                       jnp.int32),
+        }
+        _forward_equality(model, sample, lora=False)
+    finally:
+        CB.CLIP_CONFIGS.clear()
+        CB.CLIP_CONFIGS.update(orig)
+
+
+def test_precast_forward_equal_text_unet(tmp_path):
+    """text_unet's frozen T5 text_encoder under precast: bitwise-equal
+    forward (BatchNorm extra_vars ride along untouched)."""
+    import json
+
+    (tmp_path / "config.json").write_text(json.dumps({
+        "model_type": "t5", "vocab_size": 100, "d_model": 32, "d_kv": 16,
+        "d_ff": 64, "num_layers": 2, "num_heads": 2,
+        "feed_forward_proj": "gated-gelu"}))
+    model = build_model({
+        "name": "text_unet", "image_size": IMG, "is_bimanual": False,
+        "text_encoder": str(tmp_path), "features": [4, 8],
+    }, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    sample = {
+        "depth": jnp.asarray(rng.random((2, 1, IMG, IMG)), jnp.float32),
+        "instruction": jnp.asarray(rng.integers(0, 100, (2, 16)), jnp.int32),
+    }
+    _forward_equality(model, sample, lora=False)
