@@ -155,6 +155,30 @@ def _pad_to(x, axis, mult):
     return jnp.pad(x, widths)
 
 
+def _ragged_enabled() -> bool:
+    """Pad-free kernels (default, r5): q/k/v/out/grad arrays enter the
+    pallas_call at their TRUE length — ragged trailing q blocks and
+    oversized K/V blocks (Mosaic clamps the DMAs; OOB output rows are
+    dropped) replace the XLA-level pad/unpad copies (~4 ms/step of HBM
+    round-trips at the flagship shape). The tiny per-row tensors
+    (key mask, lse, delta) stay padded — their copies are ~KB. In-kernel,
+    the backward zeroes invalid q rows (loads beyond nq return garbage
+    that would otherwise flow into the dk/dv accumulators).
+
+    MEASURED (real chip, 2026-08-20, flagship k=8 program): per-kernel
+    time gets WORSE ragged (fusion bwd 1.99 vs 1.87 ms, fwd 0.90 vs 0.87,
+    vision 0.64 vs 0.58 — bounds-checked DMAs + in-kernel garbage
+    masking), program-level step time is NEUTRAL (back-to-back device
+    while-rows 73.7 ragged vs 75.8 padded; host-wall bench the opposite
+    sign, 75.7 vs 73.9 — both < the ±6% noise gate), and compiled train
+    peak HBM drops 3.89 -> 3.60 GB (-7.5%, deterministic). Default stays
+    ragged for the memory win at time parity.
+    BIFOLD_FLASH_RAGGED=0 restores the padded layout for A/B."""
+    import os
+
+    return os.environ.get("BIFOLD_FLASH_RAGGED", "1") not in ("0", "false")
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
@@ -174,9 +198,13 @@ def _online_softmax_loop(q_ref, k_ref, v_ref, mask_ref, scale, block_k,
         k = k_ref[0, pl.ds(i * block_k, block_k), :]
         v = v_ref[0, pl.ds(i * block_k, block_k), :]
         k = k.astype(jnp.bfloat16 if bf16_d else jnp.float32)
+        kmask = mask_ref[0, 0, pl.ds(i * block_k, block_k)]
+        # masked-row v must be ZEROED, not merely probability-masked: the
+        # ragged path's oversize K/V blocks load garbage (NaN in interpret
+        # mode) past nk, and 0-probability x NaN = NaN inside the pv matmul
+        v = jnp.where(kmask[:, None] == 0, jnp.zeros_like(v), v)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        kmask = mask_ref[0, 0, pl.ds(i * block_k, block_k)]
         s = jnp.where(kmask[None, :] == 0, _NEG, s)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -220,7 +248,7 @@ def _xla_reference(q, k, v, key_mask, scale):
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
-def _prepare(q, k, v, key_mask, block_q, block_k):
+def _prepare(q, k, v, key_mask, block_q, block_k, ragged):
     b, nq, h, d = q.shape
     nk = k.shape[1]
     if key_mask is None:
@@ -230,14 +258,22 @@ def _prepare(q, k, v, key_mask, block_q, block_k):
     def to_bh(x):
         return x.transpose(0, 2, 1, 3).reshape(b * x.shape[2], x.shape[1], d)
 
-    qb = _pad_to(to_bh(q), 1, block_q)
-    kb = _pad_to(to_bh(k), 1, block_k)
-    vb = _pad_to(to_bh(v), 1, block_k)
+    if ragged:
+        # pad-free: q/k/v enter at true length; the K/V BlockSpecs request
+        # an nk_pad-row VMEM block (oversize — Mosaic clamps the DMA) and
+        # the PADDED MASK's zero tail masks the garbage key rows, so the
+        # kernels need no k-side iota test.
+        qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
+    else:
+        qb = _pad_to(to_bh(q), 1, block_q)
+        kb = _pad_to(to_bh(k), 1, block_k)
+        vb = _pad_to(to_bh(v), 1, block_k)
     # (B, 1, nk_pad): 3-D so the mask block's trailing dims equal the array
     # dims (TPU tiling: trailing block dims divide (8, 128) OR equal the
     # array's — a (1, nk) 2-D block satisfies neither). The per-head view is
     # selected by index-map arithmetic (bh -> b = bh // h), avoiding an
-    # h-fold repeat materialization per call.
+    # h-fold repeat materialization per call. Mask padding stays in BOTH
+    # modes (KB-sized; its zeros also mask ragged-mode garbage key rows).
     maskb = _pad_to(key_mask, 1, block_k)[:, None, :]
     return qb, kb, vb, maskb
 
@@ -256,16 +292,22 @@ def _forward_with_lse(q, k, v, key_mask, scale, block_q, block_k, interpret,
         nq, nk, block_q, block_k,
         fixed_row_bytes=2 * d * q.dtype.itemsize)
     _check_residency(-(-nk // 128) * 128, d, q.dtype.itemsize, backward=False)
-    qb, kb, vb, maskb = _prepare(q, k, v, key_mask, block_q, block_k)
-    nq_pad, nk_pad = qb.shape[1], kb.shape[1]
+    ragged = _ragged_enabled()
+    qb, kb, vb, maskb = _prepare(q, k, v, key_mask, block_q, block_k, ragged)
+    nq_grid = -(-qb.shape[1] // block_q)          # ceil-div q blocks
+    nq_pad = nq_grid * block_q
+    nk_pad = maskb.shape[2]                       # block_k multiple
     bh = qb.shape[0]
-    grid = (bh, nq_pad // block_q)
+    grid = (bh, nq_grid)
+    n_out = qb.shape[1] if ragged else nq_pad     # ragged: exact-size out
 
     out_specs = [pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
                               memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype)]
+    out_shape = [jax.ShapeDtypeStruct((bh, n_out, d), q.dtype)]
     if with_lse:
         kernel = _fwd_kernel
+        # lse stays block-padded even in ragged mode (f32 (bh, 1, nq) is
+        # KB-sized; an exact-divide minor dim avoids ragged minor writes)
         out_specs.append(pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j),
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((bh, 1, nq_pad), jnp.float32))
@@ -297,7 +339,7 @@ def _forward_with_lse(q, k, v, key_mask, scale, block_q, block_k, interpret,
 
 
 def _dqkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
-                 dq_ref, dk_ref, dv_ref, *, scale, block_k, kv_len):
+                 dq_ref, dk_ref, dv_ref, *, scale, block_k, kv_len, q_len):
     """Fused backward: one pass over K blocks produces this q block's dq and
     accumulates dk/dv into full-size output blocks.
 
@@ -323,21 +365,42 @@ def _dqkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
     delta = delta_ref[0, 0][:, None]  # (bq, 1)
     bq, d = q.shape
     num_k = kv_len // block_k
+    # ragged trailing q block: rows past q_len hold GARBAGE loads (possibly
+    # NaN bit patterns) which would flow through p^T do / ds^T q into the
+    # dk/dv accumulators — zero the row inputs AND select p/ds to 0 (a
+    # select, unlike multiply, never propagates NaN). Exact-divide shapes
+    # make this a compile-time no-op.
+    if q_len % bq != 0:
+        j = pl.program_id(1)
+        rows = j * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0)
+        q_valid = rows < q_len
+        q = jnp.where(q_valid, q, 0.0)
+        do = jnp.where(q_valid, do, 0.0)
+    else:
+        q_valid = None
 
     def body(i, dq):
         ks = pl.ds(i * block_k, block_k)
-        k = k_ref[0, ks, :].astype(jnp.float32)
-        v = v_ref[0, ks, :].astype(jnp.float32)
+        kmask = mask_ref[0, 0, ks]
+        # zero masked k/v ROWS (not just probabilities): ragged oversize
+        # blocks load garbage (NaN in interpret mode) past nk, and
+        # 0 x NaN = NaN inside dp = do v^T and dq = ds k
+        kvalid = kmask[:, None] != 0
+        k = jnp.where(kvalid, k_ref[0, ks, :], 0).astype(jnp.float32)
+        v = jnp.where(kvalid, v_ref[0, ks, :], 0).astype(jnp.float32)
         s = jax.lax.dot_general(
             q.astype(f_d), k.astype(f_d), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale       # (bq, bk)
-        kmask = mask_ref[0, 0, ks]
         s = jnp.where(kmask[None, :] == 0, _NEG, s)
         p = jnp.exp(s - lse)
+        if q_valid is not None:  # garbage lse rows -> NaN/inf p: select out
+            p = jnp.where(q_valid, p, 0.0)
         dp = jax.lax.dot_general(
             do.astype(f_d), v.astype(f_d), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         ds = p * (dp - delta) * scale                         # (bq, bk)
+        if q_valid is not None:  # delta garbage: 0 * NaN = NaN without this
+            ds = jnp.where(q_valid, ds, 0.0)
         # dk/dv output blocks are float32 so the cross-step accumulation
         # never rounds through bfloat16
         dv_ref[0, ks, :] += jax.lax.dot_general(
@@ -369,24 +432,36 @@ def _backward(q, k, v, key_mask, out, lse, g, scale, block_q, block_k,
         fixed_row_bytes=2 * d * q.dtype.itemsize + 2 * d * 4,
         n_score_tiles=4)
     _check_residency(-(-nk // 128) * 128, d, q.dtype.itemsize, backward=True)
-    qb, kb, vb, maskb = _prepare(q, k, v, key_mask, block_q, block_k)
-    gb = _pad_to(g.transpose(0, 2, 1, 3).reshape(b * h, nq, d), 1, block_q)
-    nq_pad, nk_pad = qb.shape[1], kb.shape[1]
+    ragged = _ragged_enabled()
+    qb, kb, vb, maskb = _prepare(q, k, v, key_mask, block_q, block_k, ragged)
+    nq_grid = -(-nq // block_q)
+    nq_pad = nq_grid * block_q
+    nk_pad = maskb.shape[2]
     bh = qb.shape[0]
 
-    # out arrives in public (b, nq, h, d) layout; lse padded to the
-    # FORWARD's q block — re-shape/re-pad both to this kernel's blocks
-    out = _pad_to(out.transpose(0, 2, 1, 3).reshape(b * h, nq, d), 1, block_q)
+    # out/g arrive in public (b, nq, h, d) layout; the ragged path feeds
+    # them at true length (the same ragged q BlockSpec as qb)
+    def big(x):
+        x = x.transpose(0, 2, 1, 3).reshape(b * h, nq, d)
+        return x if ragged else _pad_to(x, 1, block_q)
+
+    gb, outb = big(g), big(out)
+    # lse padded to the FORWARD's q block — re-pad to this kernel's blocks
+    # (KB-sized f32 row tensors: kept exact-divide in both modes)
     lse = _pad_to(lse[:, :, :nq], 2, block_q)
 
     # delta_i = sum_d dO_i * O_i  (rowwise), padded like lse: (bh, 1, nq_pad)
-    delta = jnp.sum(gb.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
-    delta = delta[:, None, :]
+    delta = jnp.sum(gb.astype(jnp.float32) * outb.astype(jnp.float32),
+                    axis=-1)
+    delta = _pad_to(delta, 1, block_q)[:, None, :]
 
+    n_dq = nq if ragged else nq_pad
+    n_dkv = nk if ragged else nk_pad
     dq, dk, dv = pl.pallas_call(
         functools.partial(_dqkv_kernel, scale=scale, block_k=block_k,
-                          kv_len=nk_pad),
-        grid=(bh, nq_pad // block_q),
+                          kv_len=nk_pad,
+                          q_len=nq if ragged else nq_pad),
+        grid=(bh, nq_grid),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nk_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -408,9 +483,9 @@ def _backward(q, k, v, key_mask, out, lse, g, scale, block_q, block_k,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, nk_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((bh, nk_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n_dq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n_dkv, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, n_dkv, d), jnp.float32),
         ),
         interpret=interpret,
     )(qb, kb, vb, maskb, gb, lse, delta)

@@ -218,3 +218,38 @@ def test_flash_residency_ceiling_is_explicit_error():
             lambda a: jax.grad(
                 lambda x: flash_attention(x, x, x, interpret=True)
                 .astype(jnp.float32).sum())(a), q)
+
+
+@pytest.mark.parametrize("ragged", ["0", "1"])
+def test_flash_ragged_and_padded_layouts_match_xla(ragged, monkeypatch):
+    """Both kernel entry layouts (r5 pad-free ragged q/kv blocks vs the
+    padded r1 layout) stay covered whatever the shipped default: fwd+grad
+    vs the wide XLA reference at block-awkward lengths (nq=300 trailing
+    ragged q block, nk=200 oversize K/V block, random key mask)."""
+    from bifold_tpu.ops.flash_attention import _xla_reference
+
+    monkeypatch.setenv("BIFOLD_FLASH_RAGGED", ragged)
+    rng = np.random.default_rng(3)
+    b, nq, nk, h, d = 2, 300, 200, 2, 48
+    q = jnp.asarray(rng.standard_normal((b, nq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, nk, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, nk, h, d)), jnp.float32)
+    mask = jnp.asarray(
+        rng.integers(0, 2, (b, nk)).astype(np.int32)).at[:, :4].set(1)
+
+    def loss_flash(*a):
+        return (flash_attention(*a, mask, block_q=128, block_k=128,
+                                interpret=True) ** 2).sum()
+
+    def loss_ref(*a):
+        return (_xla_reference(*a, mask, d ** -0.5) ** 2).sum()
+
+    out = flash_attention(q, k, v, mask, block_q=128, block_k=128,
+                          interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_xla_reference(q, k, v, mask, d ** -0.5)),
+        atol=2e-5)
+    g = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, r in zip(g, g_ref):
+        assert float(jnp.abs(a - r).max()) < 1e-4
