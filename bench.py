@@ -50,7 +50,6 @@ def _flagship(batch: int, image_size: int = 384, context: int = 3):
         "rgb": rng.integers(0, 255, (batch, s, s, 3), dtype=np.uint8),
         "depth": rng.random((batch, s, s), dtype=np.float32),
         "mask": (rng.random((batch, s, s)) > 0.5).astype(np.float32),
-        "instruction": rng.integers(0, 30000, (batch, 64)).astype(np.int32),
         "ctx_rgb": rng.integers(0, 255, (batch, context, s, s, 3), dtype=np.uint8),
         "ctx_depth": rng.random((batch, context, s, s), dtype=np.float32),
         "ctx_mask": np.ones((batch, context, s, s), np.float32),
@@ -71,6 +70,19 @@ def _flagship(batch: int, image_size: int = 384, context: int = 3):
          "mask_depth": True, "standardize_depth": False},
         partition="train", max_context_length=context,
         autoprocessor_name="siglip")
+    # REAL tokenized instructions (not random ids): serve-side checks
+    # (tools/int8_fullscale_check.py) probe the trained model with text
+    # through the SAME tokenizer — random ids would put the probe's (small,
+    # spm-fixture) id range out of the training distribution and flatten
+    # the overfit heatmaps
+    pool = ("fold the left sleeve inward",
+            "fold the towel from left to right",
+            "fold the tshirt in half from bottom to top",
+            "fold the trousers vertically in the middle",
+            "drag the cloth to the center", "fold both sleeves inward",
+            "fold the towel diagonally", "flatten the cloth")
+    raw["instruction"] = np.stack(
+        [proc.tokenize(pool[i % len(pool)]) for i in range(batch)])
 
     batch_proc = proc.process_batch(raw)
     device_batch = {k: jnp.asarray(v) for k, v in batch_proc.items()
