@@ -462,6 +462,18 @@ def build_tokenizer(text_encoder: Optional[str] = None,
         return hf_tok
     except Exception:
         _warn_hash_fallback(f"HF tokenizer assets for {text_encoder!r}")
+        # REGISTRY-name T5 encoders (e.g. "t5-small") build their embedding
+        # table from T5_CONFIGS — cap the hash vocab at that table's size,
+        # like the local-dir branch above, so ids never overflow it (a
+        # 49408-bucket hash against a 32128-row nn.Embed silently clamps a
+        # third of the tokens onto the last row)
+        try:
+            from bifold_tpu.models.backbones.t5_backbone import T5_CONFIGS
+            vocab = T5_CONFIGS[text_encoder].vocab_size
+            return HashTokenizer(vocab, CLIP_CONTEXT_LENGTH,
+                                 sot=None, eot=1, pad=0)
+        except KeyError:
+            pass
         return HashTokenizer(_CLIP_VOCAB_SIZE, CLIP_CONTEXT_LENGTH,
                              sot=None, eot=1, pad=0)
 

@@ -76,6 +76,13 @@ CLIP_CONFIGS = {
         patch_size=14, vision_width=1024, vision_layers=24, vision_heads=16,
         text_width=768, text_heads=12, embed_dim=768,
     ),
+    # same towers as ViT-L/14 at 336 px input (the reference's _MODELS last
+    # entry); its text side is identical, so text_unet dispatch must accept
+    # it as a CLIP name rather than routing it to the T5 branch
+    "ViT-L/14@336px": ClipConfig(
+        image_size=336, patch_size=14, vision_width=1024, vision_layers=24,
+        vision_heads=16, text_width=768, text_heads=12, embed_dim=768,
+    ),
 }
 
 # Text-tower-only configs for the ResNet-vision CLIP names in the

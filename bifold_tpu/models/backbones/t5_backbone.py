@@ -78,6 +78,13 @@ def resolve_t5_config(name_or_dir: str) -> T5Config:
     """
     if name_or_dir in T5_CONFIGS:
         return T5_CONFIGS[name_or_dir]
+    if not isinstance(name_or_dir, str) or not name_or_dir:
+        # Path(None) would raise an opaque TypeError below; keep the
+        # documented ValueError contract for null/empty configs too
+        raise ValueError(
+            f"text_encoder {name_or_dir!r} is neither a CLIP model, a known "
+            f"T5 config ({sorted(T5_CONFIGS)}), nor a local T5 checkpoint "
+            f"directory with a config.json")
     cfg_path = Path(name_or_dir) / "config.json"
     if cfg_path.is_file():
         raw = json.loads(cfg_path.read_text())

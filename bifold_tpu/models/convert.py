@@ -800,6 +800,18 @@ def load_state_dict(path: str | Path) -> Dict:
     model directory."""
     path = Path(path)
     if path.is_dir():
+        # sharded HF save_pretrained layout (weights over the 2GB/shard
+        # limit): an index json mapping tensor name -> shard file
+        for idx_name in ("model.safetensors.index.json",
+                         "pytorch_model.bin.index.json"):
+            idx = path / idx_name
+            if idx.exists():
+                import json as _json
+                weight_map = _json.loads(idx.read_text())["weight_map"]
+                sd: Dict = {}
+                for shard in sorted(set(weight_map.values())):
+                    sd.update(load_state_dict(path / shard))
+                return sd
         for name in ("model.safetensors", "pytorch_model.bin"):
             if (path / name).exists():
                 path = path / name

@@ -185,7 +185,7 @@ def _ragged_enabled() -> bool:
 
 
 def _online_softmax_loop(q_ref, k_ref, v_ref, mask_ref, scale, block_k,
-                         kv_len):
+                         kv_len, kv_true):
     bf16_d, bf16_block = _bf16_flags()
     q = q_ref[0].astype(jnp.float32) * scale  # (bq, d)
     if bf16_d:
@@ -199,10 +199,16 @@ def _online_softmax_loop(q_ref, k_ref, v_ref, mask_ref, scale, block_k,
         v = v_ref[0, pl.ds(i * block_k, block_k), :]
         k = k.astype(jnp.bfloat16 if bf16_d else jnp.float32)
         kmask = mask_ref[0, 0, pl.ds(i * block_k, block_k)]
-        # masked-row v must be ZEROED, not merely probability-masked: the
+        # GARBAGE-row v must be ZEROED, not merely probability-masked: the
         # ragged path's oversize K/V blocks load garbage (NaN in interpret
-        # mode) past nk, and 0-probability x NaN = NaN inside the pv matmul
-        v = jnp.where(kmask[:, None] == 0, jnp.zeros_like(v), v)
+        # mode) past nk, and 0-probability x NaN = NaN inside the pv matmul.
+        # Only rows past the true kv length are zeroed — zeroing USER-masked
+        # rows too would change the degenerate all-masked-row output from
+        # the XLA backend's mean(v) to 0 (scores go uniform, so v leaks).
+        if kv_true < kv_len:  # compile-time no-op for exact-divide shapes
+            rows = i * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_k, 1), 0)
+            v = jnp.where(rows < kv_true, v, jnp.zeros_like(v))
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         s = jnp.where(kmask[None, :] == 0, _NEG, s)
@@ -223,20 +229,20 @@ def _online_softmax_loop(q_ref, k_ref, v_ref, mask_ref, scale, block_k,
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
-                scale, block_k, kv_len):
+                scale, block_k, kv_len, kv_true):
     acc, m, l = _online_softmax_loop(q_ref, k_ref, v_ref, mask_ref, scale,
-                                     block_k, kv_len)
+                                     block_k, kv_len, kv_true)
     l_safe = jnp.maximum(l, 1e-30)
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
     lse_ref[0, 0] = (m + jnp.log(l_safe))[:, 0]
 
 
 def _fwd_kernel_infer(q_ref, k_ref, v_ref, mask_ref, o_ref, *,
-                      scale, block_k, kv_len):
+                      scale, block_k, kv_len, kv_true):
     """Inference-only forward: no lse output, so non-differentiated calls
     (serving) skip its HBM write entirely (ADVICE r2)."""
     acc, _, l = _online_softmax_loop(q_ref, k_ref, v_ref, mask_ref, scale,
-                                     block_k, kv_len)
+                                     block_k, kv_len, kv_true)
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
@@ -316,7 +322,7 @@ def _forward_with_lse(q, k, v, key_mask, scale, block_q, block_k, interpret,
 
     outs = pl.pallas_call(
         functools.partial(kernel, scale=scale, block_k=block_k,
-                          kv_len=nk_pad),
+                          kv_len=nk_pad, kv_true=nk if ragged else nk_pad),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -339,7 +345,8 @@ def _forward_with_lse(q, k, v, key_mask, scale, block_q, block_k, interpret,
 
 
 def _dqkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
-                 dq_ref, dk_ref, dv_ref, *, scale, block_k, kv_len, q_len):
+                 dq_ref, dk_ref, dv_ref, *, scale, block_k, kv_len, q_len,
+                 kv_true):
     """Fused backward: one pass over K blocks produces this q block's dq and
     accumulates dk/dv into full-size output blocks.
 
@@ -382,12 +389,21 @@ def _dqkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
     def body(i, dq):
         ks = pl.ds(i * block_k, block_k)
         kmask = mask_ref[0, 0, ks]
-        # zero masked k/v ROWS (not just probabilities): ragged oversize
+        # zero GARBAGE k/v ROWS (not just probabilities): ragged oversize
         # blocks load garbage (NaN in interpret mode) past nk, and
-        # 0 x NaN = NaN inside dp = do v^T and dq = ds k
-        kvalid = kmask[:, None] != 0
-        k = jnp.where(kvalid, k_ref[0, ks, :], 0).astype(jnp.float32)
-        v = jnp.where(kvalid, v_ref[0, ks, :], 0).astype(jnp.float32)
+        # 0 x NaN = NaN inside dp = do v^T and dq = ds k. Only rows past the
+        # true kv length — USER-masked rows hold real data and their p/ds
+        # vanish; zeroing them too would diverge from the padded kernel and
+        # the XLA backend on degenerate all-masked rows (mean(v) semantics).
+        if kv_true < kv_len:  # compile-time no-op for exact-divide shapes
+            kv_rows = i * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_k, 1), 0)
+            kvalid = kv_rows < kv_true
+            k = jnp.where(kvalid, k_ref[0, ks, :], 0).astype(jnp.float32)
+            v = jnp.where(kvalid, v_ref[0, ks, :], 0).astype(jnp.float32)
+        else:
+            k = k_ref[0, ks, :].astype(jnp.float32)
+            v = v_ref[0, ks, :].astype(jnp.float32)
         s = jax.lax.dot_general(
             q.astype(f_d), k.astype(f_d), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale       # (bq, bk)
@@ -459,7 +475,7 @@ def _backward(q, k, v, key_mask, out, lse, g, scale, block_q, block_k,
     n_dkv = nk if ragged else nk_pad
     dq, dk, dv = pl.pallas_call(
         functools.partial(_dqkv_kernel, scale=scale, block_k=block_k,
-                          kv_len=nk_pad,
+                          kv_len=nk_pad, kv_true=nk if ragged else nk_pad,
                           q_len=nq if ragged else nq_pad),
         grid=(bh, nq_grid),
         in_specs=[

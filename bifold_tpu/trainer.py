@@ -154,7 +154,9 @@ class Trainer:
             return
         d = Path(str(enc))
         if not any((d / n).exists()
-                   for n in ("model.safetensors", "pytorch_model.bin")):
+                   for n in ("model.safetensors", "pytorch_model.bin",
+                             "model.safetensors.index.json",
+                             "pytorch_model.bin.index.json")):
             return
         from bifold_tpu.models.convert import convert_t5, graft, load_state_dict
         converted = convert_t5(load_state_dict(d))

@@ -165,3 +165,28 @@ def test_openai_naming_detected():
     np.testing.assert_array_equal(blk["attn"]["q_proj"]["kernel"], w[:d].T)
     np.testing.assert_array_equal(blk["attn"]["v_proj"]["kernel"], w[2 * d:].T)
     assert out["visual"]["conv1"]["kernel"].shape == (p, p, 3, d)
+
+
+def test_load_state_dict_sharded_dir(tmp_path):
+    """HF save_pretrained shards checkpoints over ~2GB into
+    model-0000N-of-0000M.safetensors + model.safetensors.index.json; a
+    sharded dir used to be silently treated as config-only (random init)."""
+    from safetensors.numpy import save_file
+
+    from bifold_tpu.models.convert import load_state_dict
+
+    rng = np.random.default_rng(0)
+    a = {"shared.weight": rng.standard_normal((4, 3)).astype(np.float32)}
+    b = {"block.0.w": rng.standard_normal((2, 2)).astype(np.float32),
+         "final.bias": rng.standard_normal((2,)).astype(np.float32)}
+    save_file(a, str(tmp_path / "model-00001-of-00002.safetensors"))
+    save_file(b, str(tmp_path / "model-00002-of-00002.safetensors"))
+    import json
+    (tmp_path / "model.safetensors.index.json").write_text(json.dumps({
+        "metadata": {"total_size": 0},
+        "weight_map": {k: "model-00001-of-00002.safetensors" for k in a}
+        | {k: "model-00002-of-00002.safetensors" for k in b}}))
+    sd = load_state_dict(tmp_path)
+    assert set(sd) == set(a) | set(b)
+    np.testing.assert_array_equal(sd["shared.weight"], a["shared.weight"])
+    np.testing.assert_array_equal(sd["final.bias"], b["final.bias"])

@@ -154,3 +154,43 @@ def test_trainer_loads_pretrained_t5(tmp_path):
     trainer.prepare_train()
     loss = trainer.train_epoch()
     assert np.isfinite(loss)
+
+
+def test_resolve_t5_config_null_is_valueerror():
+    """Path(None) used to raise an opaque TypeError; the documented contract
+    is ValueError for anything that is not a name or a checkpoint dir."""
+    for bogus in (None, ""):
+        with pytest.raises(ValueError, match="neither a CLIP model"):
+            resolve_t5_config(bogus)
+
+
+def test_registry_t5_hash_fallback_caps_vocab():
+    """Offline, a REGISTRY T5 name (no local dir) must hash into the
+    embedding table T5_CONFIGS builds for it — 49408 CLIP-sized buckets
+    against a 32128-row nn.Embed would silently clamp a third of all ids
+    onto the last row."""
+    from bifold_tpu.data.tokenizers import HashTokenizer, build_tokenizer
+    from bifold_tpu.models.backbones.t5_backbone import T5_CONFIGS
+
+    with pytest.warns(UserWarning, match="falling back"):
+        tok = build_tokenizer("t5-small")
+    assert isinstance(tok, HashTokenizer)
+    assert tok.vocab_size == T5_CONFIGS["t5-small"].vocab_size
+    ids = tok("fold the towel")
+    assert ids.max() < T5_CONFIGS["t5-small"].vocab_size
+
+
+def test_vit_l_336_dispatches_to_clip_text_tower():
+    """ViT-L/14@336px is in the reference _MODELS (and CLIP_MODEL_NAMES);
+    after the silent-T5-fallback removal it must still route to the CLIP
+    text tower, not raise in resolve_t5_config."""
+    from bifold_tpu.models import build_model
+
+    model = build_model({
+        "name": "text_unet", "image_size": 32, "is_bimanual": False,
+        "text_encoder": "ViT-L/14@336px", "features": [4, 8],
+    })
+    sample = {"depth": jnp.zeros((1, 1, 32, 32)),
+              "instruction": jnp.zeros((1, 8), jnp.int32)}
+    params = model.init(jax.random.key(0), sample, deterministic=True)
+    assert "clip_encoder" in params["params"]

@@ -172,6 +172,7 @@ def _train_policy(records, steps):
         return optax.apply_updates(params, updates), opt, loss
 
     t0 = time.time()
+    loss = float("nan")  # --steps 0 smokes the pipeline without training
     for i in range(steps):
         params, opt, loss = step(params, opt, batches[i % len(batches)])
         if i % 200 == 0:
