@@ -136,7 +136,9 @@ def bench_train(batch: int, steps: int = 10, warmup: int = 2):
     # 84.6 -> 81.7 ms/step at k=8 (BENCH_NOTES.md scan_steps_ab), numerics
     # bit-identical to k dispatched steps. Benched through the REAL stacked
     # path (k stacked micro-batches, one transfer), not same_batch.
-    scan_k = int(os.environ.get("BIFOLD_BENCH_SCAN_K", 8))
+    # clamp: 0/negative (natural spellings of "disable") must take the
+    # single-step path without zeroing the per-step divisor below
+    scan_k = max(1, int(os.environ.get("BIFOLD_BENCH_SCAN_K", 8)))
     state = (params, opt_state, {}, jax.random.key(0))
     if scan_k > 1:
         multi = parallel.make_scan_train_step(step, scan_k, donate=True)
@@ -377,9 +379,14 @@ def main():
             break
         except Exception as e:  # noqa: BLE001 - retry smaller on OOM
             if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
+                last_oom = e
                 batch //= 2
                 continue
             raise
+    if throughput is None:
+        # batch 1 still OOMed: surface the real cause, not a TypeError
+        # from the division below
+        raise last_oom
     per_chip = throughput / n_chips
 
     serve_mem = {}

@@ -303,17 +303,25 @@ def compose(
 _MISSING = object()
 
 
-def _lookup(root: dict, parent_path: tuple[str, ...], expr: str) -> Any:
+def _lookup(root: dict, parent_path: tuple[str, ...],
+            expr: str) -> tuple[Any, tuple[str, ...]]:
+    """Resolve ``expr`` to ``(value, target_parent_path)``.
+
+    The target's OWN parent path rides along so interpolations inside the
+    referenced value resolve relative to the *target's* location, not the
+    referrer's — ``${a.y}`` with ``a.y = '${.x}'`` must read ``a.x``
+    wherever the referrer sits (resolution used to be dict-order dependent
+    without this)."""
     expr = expr.strip()
     if expr.startswith("oc.env:"):
         payload = expr[len("oc.env:"):]
         if "," in payload:
             var, default = payload.split(",", 1)
-            return os.environ.get(var.strip(), default.strip())
+            return os.environ.get(var.strip(), default.strip()), ()
         var = payload.strip()
         if var not in os.environ:
             raise InterpolationError(f"Environment variable '{var}' is not set")
-        return os.environ[var]
+        return os.environ[var], ()
     if expr.startswith("."):
         # Relative: one leading dot = sibling of the current node; each extra
         # dot walks one level further up.
@@ -326,18 +334,26 @@ def _lookup(root: dict, parent_path: tuple[str, ...], expr: str) -> Any:
     node: Any = root
     for part in path:
         if not isinstance(node, dict) or part not in node:
-            return _MISSING
+            return _MISSING, ()
         node = node[part]
-    return node
+    return node, tuple(path)
+
+
+# placeholder protecting ``\${`` escapes (literal "${" in a value) from the
+# interpolation regex while a value is being resolved
+_ESCAPED_DOLLAR = "\x00bifold_esc_dollar\x00"
 
 
 def _resolve_value(root: dict, path: tuple[str, ...], value: Any, stack: tuple) -> Any:
     # ``_INTERP_RE`` matches only *innermost* ``${...}`` (no braces inside), so
     # looping resolves nested expressions inside-out, e.g.
     # ``${oc.env:ROOT,${oc.env:HOME}/data}``.
+    if not (isinstance(value, str) and "${" in value):
+        return value
+    value = value.replace("\\${", _ESCAPED_DOLLAR)
     for _ in range(16):
         if not (isinstance(value, str) and "${" in value):
-            return value
+            break
         full = _INTERP_RE.fullmatch(value)
         if full:  # whole-string interpolation preserves the referenced type
             value = _resolve_expr(root, path, full.group(1), stack)
@@ -347,20 +363,38 @@ def _resolve_value(root: dict, path: tuple[str, ...], value: Any, stack: tuple) 
             resolved = _resolve_expr(root, path, m.group(1), stack)
             return "" if resolved is None else str(resolved)
 
-        value = _INTERP_RE.sub(sub, value)
-    raise InterpolationError(f"Interpolation nesting too deep at {'.'.join(path)}")
+        new = _INTERP_RE.sub(sub, value)
+        if new == value:
+            # contains "${" but nothing the grammar can match: an
+            # unterminated interpolation, not a nesting problem
+            raise InterpolationError(
+                f"Unterminated '${{' in {value!r} at "
+                f"{'.'.join(path) or '<root>'} — escape a literal as \\${{")
+        value = new
+    else:
+        raise InterpolationError(
+            f"Interpolation nesting too deep at {'.'.join(path)}")
+    if isinstance(value, str):
+        value = value.replace(_ESCAPED_DOLLAR, "${")
+    return value
 
 
 def _resolve_expr(root: dict, path: tuple[str, ...], expr: str, stack: tuple) -> Any:
-    if expr in stack:
-        raise InterpolationError(f"Interpolation cycle through '${{{expr}}}'")
-    target = _lookup(root, path, expr)
+    target, target_path = _lookup(root, path, expr)
     if target is _MISSING:
         raise InterpolationError(
             f"Interpolation '${{{expr}}}' (at {'.'.join(path) or '<root>'}) not found"
         )
-    # The referenced value may itself contain interpolations.
-    return _resolve_value(root, path, target, stack + (expr,))
+    # Cycle key = the target's absolute node path (two DIFFERENT nodes both
+    # referenced as '${.x}' along one chain must not false-positive, and a
+    # mixed relative/absolute cycle must still be caught).
+    key = ("env:" + expr if expr.strip().startswith("oc.env:")
+           else ".".join(target_path))
+    if key in stack:
+        raise InterpolationError(f"Interpolation cycle through '${{{expr}}}'")
+    # The referenced value may itself contain interpolations — resolve them
+    # against the TARGET's parent path, not the referrer's.
+    return _resolve_value(root, target_path[:-1], target, stack + (key,))
 
 
 def resolve(tree: dict) -> dict:

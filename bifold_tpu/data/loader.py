@@ -149,22 +149,48 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         error: list = []
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put that aborts when the consumer is gone — a plain
+            # q.put() would block FOREVER on the full queue if the consumer
+            # abandons the iterator mid-epoch (evaluator `break` after
+            # `limit` samples, SIGTERM preemption), leaking the thread and
+            # the prefetched device batches it holds for the process life
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for b, indices in self._index_batches(start):
-                    q.put(self._make_batch(b, indices))
+                    if stop.is_set() or not _put(self._make_batch(b, indices)):
+                        return
             except BaseException as e:  # noqa: BLE001 - surfaced on consumer side
                 error.append(e)
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error:
-                    raise error[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if error:
+                        raise error[0]
+                    return
+                yield item
+        finally:
+            # runs on normal exhaustion AND on generator close/GC
+            stop.set()
+            while True:     # unblock a producer waiting in put()
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5.0)

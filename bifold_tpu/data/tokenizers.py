@@ -326,10 +326,16 @@ def ensure_spm_fixture() -> Optional[Path]:
 
     from bifold_tpu.data.spm import fixture_model_bytes
 
-    path = Path(tempfile.gettempdir()) / "bifold_spm_fixture.model"
+    # uid-suffixed path: a world-shared /tmp name could be owned by another
+    # user (write -> PermissionError aborts the driver artifact) or
+    # pre-created with a DIFFERENT valid model (silently foreign vocab)
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    path = Path(tempfile.gettempdir()) / f"bifold_spm_fixture_{uid}.model"
     blob = fixture_model_bytes()
     if not (path.exists() and path.read_bytes() == blob):
-        path.write_bytes(blob)
+        tmp = path.with_suffix(f".tmp{os.getpid()}")
+        tmp.write_bytes(blob)     # atomic replace: concurrent bench +
+        tmp.replace(path)         # dryrun never see a torn file
     os.environ["BIFOLD_SIGLIP_SPM"] = str(path)
     return path
 

@@ -44,8 +44,11 @@ class PPAction:
 
 
 def _edges_of(faces: np.ndarray) -> np.ndarray:
-    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
-    return np.unique(np.sort(e, axis=1), axis=0)
+    # one face->unique-sorted-edges helper for the whole repo (the XPBD
+    # solver builds its stretch constraints with the identical extraction)
+    from bifold_tpu.env.sim import _edges_from_faces
+
+    return _edges_from_faces(faces)
 
 
 def filter_bad_meshes(vertices, nocs_vertices, faces, method: str = "zscore",

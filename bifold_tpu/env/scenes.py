@@ -96,12 +96,10 @@ def fluid_scene(sim: ClothSim, *, dim=(8, 16, 8), lower=(0.0, 0.1, 0.0),
     # never run
     sim.set_particles(pos, 1.0, phases=make_phase(0, True, False, True),
                       color=(0.3, 0.5, 0.9))
-    # rest density of the emission lattice itself, so pressure is neutral
-    # in the initial block interior
-    grid = np.mgrid[-2:3, -2:3, -2:3].reshape(3, -1).T * spacing
-    r2 = (grid * grid).sum(1)
-    from bifold_tpu.env.sim import _poly6
-    sim.set_fluid_params(radius, rest_density=float(_poly6(r2, radius).sum()))
+    # rest density of the emission lattice itself (computed by
+    # set_fluid_params at OUR spacing), so pressure is neutral in the
+    # initial block interior
+    sim.set_fluid_params(radius, rest_spacing=spacing)
     sim.set_scene_bounds(bounds_lo, bounds_hi)
     return sim
 

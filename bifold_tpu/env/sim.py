@@ -485,11 +485,15 @@ class ClothSim:
 
     def set_fluid_params(self, smoothing_h: float,
                          rest_density: Optional[float] = None,
-                         scorr_k: float = 0.0):
+                         scorr_k: float = 0.0,
+                         rest_spacing: Optional[float] = None):
         """Enable the position-based-fluids solve for FLUID-phase particles.
         ``rest_density`` defaults to the density of a cubic lattice at
-        spacing h/2 (the scenes' emission spacing), computed with the same
-        poly6 kernel the solver uses. ``scorr_k`` (PBF artificial pressure)
+        ``rest_spacing`` (default h/2), computed with the same poly6 kernel
+        the solver uses — scenes emitting at a different spacing pass it
+        here so neutral-pressure density is derived in ONE place (a scene-
+        side copy of this lattice sum drifted once; see scenes.fluid_scene).
+        ``scorr_k`` (PBF artificial pressure)
         defaults OFF: anti-clustering is handled by separating fluid pairs
         at the fluid rest distance instead (FleX's own
         fluidRestDistance-as-collision-distance approach) — the s_corr term
@@ -498,7 +502,8 @@ class ClothSim:
         self.fluid_h = float(smoothing_h)
         self.fluid_scorr_k = float(scorr_k)
         if rest_density is None:
-            spacing = smoothing_h / 2.0
+            spacing = (smoothing_h / 2.0 if rest_spacing is None
+                       else float(rest_spacing))
             grid = np.mgrid[-2:3, -2:3, -2:3].reshape(3, -1).T * spacing
             r2 = (grid * grid).sum(1)
             rest_density = float(_poly6(r2, smoothing_h).sum())

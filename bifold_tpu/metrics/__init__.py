@@ -31,20 +31,25 @@ def _valid_and_distance(target: np.ndarray, pred: np.ndarray):
     """Per-sample validity + min distance to the GT point set.
 
     The reference passes variable-length (B, k, 2) or (B, 2) targets and calls
-    a sample valid when every coordinate is > 0 (metrics/__init__.py:115-117).
-    Our fixed-schema samples pad point sets to (B, 8, 2) with -1 rows, so here
-    a *row* is valid when its min coordinate is >= 0, a sample is valid when
-    any row is, and distances minimize over valid rows only — identical
-    semantics on unpadded data.
+    a sample valid when every coordinate is STRICTLY > 0
+    (metrics/__init__.py:113,119,138,140) — a keypoint on pixel row/column 0
+    invalidates the whole sample. Our fixed-schema samples pad point sets to
+    (B, 8, 2) with -1 rows; padded rows are "absent" (the reference never
+    sees them), so validity is: at least one real (non-padding) row AND
+    every real row strictly positive. Distances minimize over the real rows
+    of valid samples — identical semantics on unpadded data, including the
+    border-0 exclusion quirk.
     """
     pred = _np(pred)
     target = _np(target)
     if target.ndim == 2:
         target = target[:, None, :]
-    row_valid = np.min(target, axis=-1) >= 0  # (B, K)
-    valid = row_valid.any(axis=1)
+    row_min = np.min(target, axis=-1)     # (B, K)
+    row_real = row_min >= 0               # not a -1 padding row
+    row_pos = row_min > 0                 # reference validity per row
+    valid = row_real.any(axis=1) & (row_pos == row_real).all(axis=1)
     d = np.linalg.norm(target.round() - pred[:, None, :], axis=-1)  # (B, K)
-    d = np.where(row_valid, d, np.inf)
+    d = np.where(row_real, d, np.inf)
     distances = d.min(axis=1)[valid]
     return valid, distances
 
@@ -123,7 +128,10 @@ class IoU(BaseMetric):
         target = mask > 0.5
         intersection = np.logical_and(pred, target).sum()
         union = np.logical_or(pred, target).sum()
-        iou = intersection / union if union > 0 else 1.0
+        # empty union -> 0, matching torchmetrics BinaryJaccardIndex
+        # (_safe_divide of tp/(tp+fp+fn) = 0/0 returns 0, not 1): an
+        # all-background prediction on an empty GT mask must not score 100
+        iou = intersection / union if union > 0 else 0.0
         self.values.append(100.0 * iou)
 
     def summary(self):
@@ -152,11 +160,16 @@ class QuantileProb(BaseMetric):
             target = _np(sample[k])
             if target.ndim == 2:
                 target = target[:, None, :]
-            row_valid = np.min(target, axis=-1) >= 0
-            valid = row_valid.any(axis=1)
+            row_min = np.min(target, axis=-1)
+            row_real = row_min >= 0          # not -1 padding
+            # reference validity (metrics/__init__.py:138,140): every
+            # coordinate strictly > 0; padded rows are "absent"
+            valid = row_real.any(axis=1) & ((row_min > 0) == row_real).all(
+                axis=1)
             for i, v in enumerate(valid):
                 hm = heatmaps[i]
-                rows = target[i][row_valid[i]] if v else target[i][:1]
+                rows = (target[i][row_real[i]] if row_real[i].any()
+                        else target[i][:1])
                 xs = np.round(rows[:, 0]).astype(int).clip(0, hm.shape[1] - 1)
                 ys = np.round(rows[:, 1]).astype(int).clip(0, hm.shape[0] - 1)
                 vals = hm[ys, xs]

@@ -125,7 +125,7 @@ def decode_action(output: dict, sample: dict, *, is_bimanual: bool,
 
 
 def get_action(model, variables, sample, *, threshold: float | None = None,
-               return_raw_output: bool = False, mutable: bool = False):
+               return_raw_output: bool = False):
     """Forward + decode -> Action (host boundary).
 
     ``threshold=None`` uses the model's configured threshold. Note the

@@ -234,6 +234,16 @@ class RGBOnly(nn.Module):
 
     @nn.compact
     def __call__(self, sample, deterministic: bool = True):
+        if self.text_encoder not in CLIP_CONFIGS:
+            # ViT-only is reference-faithful: the reference's RGBOnly reads
+            # `visual.ln_post` (rgb_clip.py:34), which the RN* ModifiedResNet
+            # towers don't have — it AttributeErrors there too. Raise the
+            # same loud-name convention as text_unet's resolve paths.
+            raise ValueError(
+                f"rgb_clip text_encoder={self.text_encoder!r} is not a ViT "
+                f"CLIP model; supported: {sorted(CLIP_CONFIGS)} (the "
+                "reference crashes on RN* here too — its RGBOnly reads "
+                "visual.ln_post, which ModifiedResNet lacks)")
         clip_cfg = CLIP_CONFIGS[self.text_encoder]
         clip_cfg = type(clip_cfg)(**{**clip_cfg.__dict__, "image_size": self.image_size})
         clip = ClipBackbone(cfg=clip_cfg, dtype=self.dtype, name="clip_encoder")

@@ -70,7 +70,10 @@ def _stack_blocks(blocks: list, scan_layers: bool) -> Dict:
     """Per-layer param dicts -> encoder subtree. With ``scan_layers`` (the
     Transformer default) layers stack along a leading depth axis under
     ``blocks/block``; otherwise they unroll as ``block_i``."""
-    if not scan_layers:
+    # Transformer only uses the scan-stacked naming when depth > 1
+    # (layers.py `if self.scan_layers and self.depth > 1`); a depth-1
+    # conversion must emit block_0 or graft() has no /blocks to land on.
+    if not scan_layers or len(blocks) == 1:
         return {f"block_{i}": b for i, b in enumerate(blocks)}
     import jax
     stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *blocks)

@@ -214,6 +214,16 @@ def _online_softmax_loop(q_ref, k_ref, v_ref, mask_ref, scale, block_k,
         s = jnp.where(kmask[None, :] == 0, _NEG, s)
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
+        # Columns past the true kv length must contribute ZERO probability
+        # mass: on degenerate all-user-masked rows every score is _NEG, so
+        # m_new == _NEG and p == 1 even for the padded/garbage columns —
+        # without this the normalizer counts nk_pad columns and the output
+        # is mean(v) * nk/nk_pad instead of the XLA backend's mean(v).
+        # Normal rows are unaffected (exp(_NEG - finite_max) == 0 already).
+        if kv_true < kv_len:  # compile-time no-op for exact-divide shapes
+            cols = i * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_k), 1)
+            p = jnp.where(cols < kv_true, p, 0.0)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
         pv = p.astype(jnp.bfloat16) if bf16_block else p
@@ -321,8 +331,11 @@ def _forward_with_lse(q, k, v, key_mask, scale, block_q, block_k, interpret,
         kernel = _fwd_kernel_infer
 
     outs = pl.pallas_call(
+        # kv_true is the TRUE kv length in BOTH layouts (the padded layout
+        # zero-pads k/v/mask, but the kernel still needs nk to keep padded
+        # columns out of the softmax normalizer on degenerate rows).
         functools.partial(kernel, scale=scale, block_k=block_k,
-                          kv_len=nk_pad, kv_true=nk if ragged else nk_pad),
+                          kv_len=nk_pad, kv_true=nk),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -409,12 +422,29 @@ def _dqkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
             preferred_element_type=jnp.float32) * scale       # (bq, bk)
         s = jnp.where(kmask[None, :] == 0, _NEG, s)
         p = jnp.exp(s - lse)
+        # Mirror the forward's zero-probability treatment of columns past
+        # the true kv length (degenerate all-masked rows recompute p == 1/nk
+        # on EVERY column here, padded ones included, because lse == _NEG +
+        # log(nk); without this dv would smear 1/nk onto dropped rows and
+        # the p^T do / ds^T q accumulators would see nk_pad-column mass).
+        if kv_true < kv_len:  # compile-time no-op for exact-divide shapes
+            cols = i * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_k), 1)
+            p = jnp.where(cols < kv_true, p, 0.0)
         if q_valid is not None:  # garbage lse rows -> NaN/inf p: select out
             p = jnp.where(q_valid, p, 0.0)
         dp = jax.lax.dot_general(
             do.astype(f_d), v.astype(f_d), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         ds = p * (dp - delta) * scale                         # (bq, bk)
+        # The XLA backend (and the reference's torch masked_fill) route
+        # gradients through `where(mask == 0, _NEG, s)`, which BLOCKS ds on
+        # user-masked columns. Normal rows satisfy this for free (p == 0
+        # there); degenerate all-masked rows recompute p == 1/nk, so without
+        # this select their dq/dk would be nonzero while the XLA backend's
+        # are exactly zero. dv intentionally stays uniform-mass (softmax
+        # still assigns 1/nk to masked columns in the XLA backend too).
+        ds = jnp.where(kmask[None, :] == 0, 0.0, ds)
         if q_valid is not None:  # delta garbage: 0 * NaN = NaN without this
             ds = jnp.where(q_valid, ds, 0.0)
         # dk/dv output blocks are float32 so the cross-step accumulation
@@ -475,7 +505,7 @@ def _backward(q, k, v, key_mask, out, lse, g, scale, block_q, block_k,
     n_dkv = nk if ragged else nk_pad
     dq, dk, dv = pl.pallas_call(
         functools.partial(_dqkv_kernel, scale=scale, block_k=block_k,
-                          kv_len=nk_pad, kv_true=nk if ragged else nk_pad,
+                          kv_len=nk_pad, kv_true=nk,  # true length, both modes
                           q_len=nq if ragged else nq_pad),
         grid=(bh, nq_grid),
         in_specs=[

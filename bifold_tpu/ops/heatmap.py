@@ -36,6 +36,12 @@ def nearest_to_mask(pixels_rc, mask):
     (models/utils.py:80-83): argmin of squared distance over masked pixels,
     with unmasked pixels pushed to +inf. Ties resolve to the first flat index
     (row-major), matching numpy's argmin over argwhere ordering.
+
+    An all-False mask row (cloth out of frame, segmentation failure) keeps
+    the ORIGINAL pixel instead of silently snapping to the argmin-of-
+    constant pixel (0, 0) — the reference's argwhere code would crash on an
+    empty mask; inside a jitted batch we fall back to the unsnapped argmax
+    so a perception failure degrades to "no snap", not a corner action.
     """
     b, h, w = mask.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
@@ -45,7 +51,10 @@ def nearest_to_mask(pixels_rc, mask):
     d2 = (rows[None] - pr) ** 2 + (cols[None] - pc) ** 2
     d2 = jnp.where(mask > 0, d2, jnp.iinfo(jnp.int32).max)
     flat_idx = jnp.argmin(d2.reshape(b, -1), axis=1)
-    return jnp.stack([flat_idx // w, flat_idx % w], axis=1)
+    snapped = jnp.stack([flat_idx // w, flat_idx % w], axis=1)
+    has_mask = jnp.any(mask > 0, axis=(1, 2))
+    return jnp.where(has_mask[:, None], snapped,
+                     pixels_rc.astype(snapped.dtype))
 
 
 @partial(jax.jit, static_argnames=("use_mask",))

@@ -29,10 +29,15 @@ Schedulers: Registry = Registry("scheduler")
 
 @Optimizers.register("adam")
 def _adam(learning_rate, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.0, **_):
+    """torch.optim.Adam semantics (reference optim/__init__.py:9): its
+    ``weight_decay`` is COUPLED L2 — wd*p joins the GRADIENT before the
+    moment updates — so it must be ``add_decayed_weights`` chained BEFORE
+    adam, not optax.adamw (decoupled, applied after sqrt(v) normalization:
+    materially different regularization dynamics)."""
+    adam = optax.adam(learning_rate, b1=betas[0], b2=betas[1], eps=eps)
     if weight_decay:
-        return optax.adamw(learning_rate, b1=betas[0], b2=betas[1], eps=eps,
-                           weight_decay=weight_decay)
-    return optax.adam(learning_rate, b1=betas[0], b2=betas[1], eps=eps)
+        return optax.chain(optax.add_decayed_weights(weight_decay), adam)
+    return adam
 
 
 @Optimizers.register("adamw")

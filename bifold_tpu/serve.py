@@ -169,17 +169,25 @@ class _DynamicBatcher:
     def _compat_key(obs: dict):
         """Only observations with identical array layouts may share a
         padded dispatch — one client's differing camera resolution (or a
-        missing modality) must never fail another client's request."""
-        return tuple(sorted(
-            (k, np.asarray(v).shape, str(np.asarray(v).dtype))
-            for k, v in obs.items()
-            if isinstance(v, np.ndarray))) + (
-                ("ctx", len(obs.get("context") or [])),)
+        missing modality) must never fail another client's request. The
+        context FRAMES' layouts are part of the key too: same frame count
+        at a different context resolution would otherwise stack-crash the
+        whole group."""
+        def arrays(d):
+            return tuple(sorted(
+                (k, np.asarray(v).shape, str(np.asarray(v).dtype))
+                for k, v in d.items() if isinstance(v, np.ndarray)))
+
+        ctx = tuple(arrays(f) for f in (obs.get("context") or []))
+        return arrays(obs) + (("ctx",) + ctx,)
 
     def submit(self, obs: dict, want_raw: bool):
         pend = {"obs": obs, "raw": want_raw, "key": self._compat_key(obs),
                 "event": threading.Event(), "result": None, "error": None}
         with self._cv:
+            if self._stop:
+                # the worker is gone — a queued request would wait forever
+                raise RuntimeError("batcher is shut down")
             self._queue.append(pend)
             self.requests += 1
             self._cv.notify()

@@ -78,10 +78,16 @@ def _pack_observation(batched, depth_f16: bool):
             continue
         arr = batched[name]
         if name in _BINARY_INPUTS:
-            # soft masks (anti-aliased edges, /255 PNG loads) must keep the
-            # pipeline's round-to-nearest semantics on the 1-byte wire — a
-            # plain uint8 cast floors 0.5..0.99 edges to 0
-            payload = np.ravel(np.round(arr)).astype(np.uint8)
+            # masks travel 255-quantized on the 1-byte wire and are divided
+            # by 255 on device: binary {0,1} masks round-trip exactly, and
+            # SOFT masks (anti-aliased edges, /255 PNG alphas — every k/255
+            # value is exact) reach the serve program's composite/mask_depth
+            # with the same soft values the host Processor path sees. An
+            # earlier wire rounded to {0,1} here, which hard-edged the
+            # composite vs the host path on soft-masked inputs.
+            payload = np.clip(
+                np.round(np.ravel(arr).astype(np.float32) * 255.0),
+                0, 255).astype(np.uint8)
         elif name in _U8_INPUTS:
             payload = np.ravel(arr).astype(np.uint8)
         elif name in _INT_INPUTS:
@@ -101,7 +107,15 @@ _QUANT_TAG = "__int8_q__"
 # gather/add-consumed tables: vocab token embeddings, positional embeddings,
 # learned modality tokens. Matched per path SEGMENT at word boundaries so
 # e.g. "convtranspose_0" ("pos" inside "transpose") stays quantized.
-_QUANT_EXCLUDE = re.compile(r"(^|_)(pos|position|token)s?($|_)")
+# `positional` covers the CLIP towers' "positional_embedding" (the bare
+# "position" alternative needs a boundary right after, so it misses it);
+# an exact "embedding(s)" segment is flax nn.Embed's leaf param name, which
+# is gather-consumed by construction (T5's vocab table lives at
+# shared/embedding — no name-based alternative catches it). A SUFFIX match
+# on "_embedding" would be wrong: patch_embedding/kernel is a conv matmul
+# weight and must stay quantized (its leaf is "kernel", never "embedding").
+_QUANT_EXCLUDE = re.compile(
+    r"(^|_)(pos|position|positional|token)s?($|_)|^embeddings?$")
 
 
 @functools.partial(jax.jit, static_argnums=1)
@@ -201,7 +215,10 @@ def make_serve_program(model, threshold, fields, spec, schema,
             if name in _U8_INPUTS:
                 x = flat[off:off + size].reshape(shape)
             elif name in _BINARY_INPUTS:
-                x = flat[off:off + size].reshape(shape).astype(jnp.float32)
+                # inverse of the 255-quantized mask wire (see
+                # _pack_observation): k/255 restores soft values exactly
+                x = flat[off:off + size].reshape(shape).astype(jnp.float32) \
+                    / np.float32(255.0)
             elif depth_f16 and name in _DEPTH_INPUTS:
                 raw_bytes = flat[off:off + 2 * size].reshape(size, 2)
                 x = jax.lax.bitcast_convert_type(raw_bytes, jnp.float16)

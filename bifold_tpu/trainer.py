@@ -123,6 +123,7 @@ class Trainer:
         self._resume_loop_key = None
         self._terminate = False
         self.preempted = False
+        self._profiling = False
         self._async_ckpt = None
         self.tx = None
         self.opt_state = None
@@ -294,7 +295,10 @@ class Trainer:
                     f"true; f32 masters are unrecoverable), e.g. {low[0]}",
                     stacklevel=2)
         if payload.get("opt_state") is not None and self.tx is not None:
-            ref = self.tx.init(self.params)
+            # dtype template only — eval_shape gives the same structure and
+            # leaf dtypes WITHOUT materializing a full Adam mu/nu tree
+            # (~2x trainable-param bytes) just to throw it away
+            ref = jax.eval_shape(self.tx.init, self.params)
             restored = jax.tree_util.tree_map(
                 lambda r, s: jnp.asarray(s).astype(r.dtype) if hasattr(r, "dtype") else s,
                 ref, payload["opt_state"])
@@ -389,6 +393,9 @@ class Trainer:
                 print(f"[trainer] interrupt checkpoint failed: {save_err!r}")
             raise
         finally:
+            # a trace left open by an interrupted epoch 0 would keep
+            # recording (and buffering) the rest of the process lifetime
+            self._stop_profiler()
             # restore-by-installed (NOT by prev_handler value: signal()
             # returns None for handlers installed from C, and leaking
             # _on_term would make the process un-terminatable)
@@ -407,17 +414,31 @@ class Trainer:
         if self._async_ckpt is not None:
             self._async_ckpt.wait()     # surface write errors before returning
 
+    def _stop_profiler(self) -> None:
+        """Idempotent jax.profiler stop — called at the profile_steps
+        threshold, at epoch-0 end, and from train()'s finally, so a trace
+        started for a short or interrupted first epoch never keeps
+        recording (and buffering) the rest of the run."""
+        if self._profiling:
+            self._profiling = False
+            try:
+                jax.profiler.stop_trace()
+            except Exception as e:  # noqa: BLE001 — best-effort cleanup
+                print(f"[trainer] profiler stop failed: {e!r}")
+
     def train_epoch(self) -> float:
-        log_every = int(self.cfg.get("log_every", 50))
+        # log_every=0 disables step logging (epoch summaries still emit)
+        log_every = int(self.cfg.get("log_every", 50) or 0)
         save_steps = int(self.cfg.get("save_steps") or 0)
         running, n_steps = 0.0, 0
         t_epoch = time.time()
         samples = 0
         profile_steps = int(self.cfg.get("profile_steps") or 0)
-        if profile_steps and self.epoch == 0:
+        if profile_steps and self.epoch == 0 and not self._profiling:
             # tracing hook (SURVEY.md §5: the reference has none; we expose
             # jax.profiler so the step can be inspected in xprof/tensorboard)
             jax.profiler.start_trace(str(self.run_dir / "profile"))
+            self._profiling = True
         if hasattr(self.train_dataloader, "set_epoch"):
             self.train_dataloader.set_epoch(self.epoch)
         start = 0
@@ -547,11 +568,11 @@ class Trainer:
             if save_steps and (self.global_step // save_steps
                                > prev_global // save_steps):
                 self.save_model("last")
-            if profile_steps and n_steps >= profile_steps and self.epoch == 0:
+            if self._profiling and n_steps >= profile_steps:
                 jax.block_until_ready(step_metrics["loss"])
-                jax.profiler.stop_trace()
-                profile_steps = 0
-            if self.global_step // log_every > prev_global // log_every:
+                self._stop_profiler()
+            if log_every and (self.global_step // log_every
+                              > prev_global // log_every):
                 while pending:           # sync point — bring running current
                     a, nd = pending.pop(0)
                     running += float(a) * nd
@@ -566,6 +587,11 @@ class Trainer:
         while pending:
             a, nd = pending.pop(0)
             running += float(a) * nd
+        if self._profiling:
+            # epoch 0 ended before profile_steps steps: close the trace over
+            # the short epoch instead of silently recording the whole run
+            jax.block_until_ready(jax.tree_util.tree_leaves(state))
+            self._stop_profiler()
         self.params, self.opt_state, self.extra_vars, _ = state
         # epoch complete: subsequent checkpoints are epoch-boundary ones
         # (resume restarts the next epoch's key chain from self.key)

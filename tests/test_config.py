@@ -98,3 +98,27 @@ def test_model_dataset_interpolation_consistency():
     assert cfg.model.image_size == cfg.train_dataset.image_size == 384
     assert cfg.model.context_length == cfg.train_dataset.max_context_length == 3
     assert cfg.processor.model_image_size == 384
+
+
+def test_relative_interp_resolves_at_target_not_referrer():
+    """'${a.y}' where a.y = '${.x}' must read a.x regardless of key order —
+    resolution of a referenced value is anchored at the TARGET's location
+    (this was dict-order dependent: the referrer-anchored lookup failed or
+    silently read the wrong sibling)."""
+    from bifold_tpu.config import resolve
+
+    out1 = resolve({"b": "${a.y}", "a": {"x": 5, "y": "${.x}"}})
+    out2 = resolve({"a": {"x": 5, "y": "${.x}"}, "b": "${a.y}"})
+    assert out1["b"] == 5 and out2["b"] == 5
+
+
+def test_unterminated_interp_and_escape():
+    """A literal '${' without a closing brace raises an 'Unterminated'
+    error (not 'nesting too deep'), and '\\${' escapes a literal."""
+    import pytest as _pytest
+
+    from bifold_tpu.config import InterpolationError, resolve
+
+    with _pytest.raises(InterpolationError, match="Unterminated"):
+        resolve({"cmd": "echo ${HOME"})
+    assert resolve({"cmd": "a \\${HOME} b"})["cmd"] == "a ${HOME} b"

@@ -165,6 +165,14 @@ def test_openai_naming_detected():
     np.testing.assert_array_equal(blk["attn"]["q_proj"]["kernel"], w[:d].T)
     np.testing.assert_array_equal(blk["attn"]["v_proj"]["kernel"], w[2 * d:].T)
     assert out["visual"]["conv1"]["kernel"].shape == (p, p, 3, d)
+    # depth-1 towers NEVER use the scan-stacked layout, even with
+    # scan_layers=True: Transformer names the single layer block_0
+    # (layers.py `scan_layers and depth > 1`), so a stacked blocks/block
+    # tree would be un-graftable
+    out_scan = convert_clip(sd, vision_layers=1, text_layers=1,
+                            scan_layers=True)
+    assert "block_0" in out_scan["visual"]["transformer"]
+    assert "blocks" not in out_scan["visual"]["transformer"]
 
 
 def test_load_state_dict_sharded_dir(tmp_path):

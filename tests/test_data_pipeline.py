@@ -273,3 +273,26 @@ def test_loader_prefetch_matches_sequential():
     for ka, kb in zip(ds1.processor.keys, ds2.processor.keys):
         np.testing.assert_array_equal(np.asarray(jax.random.key_data(ka)),
                                       np.asarray(jax.random.key_data(kb)))
+
+
+def test_loader_abandoned_iterator_stops_producer():
+    """Breaking out of a prefetching loader mid-epoch (evaluator `limit`,
+    SIGTERM preemption) must stop the producer thread — a plain q.put()
+    would block forever on the full queue, leaking the thread plus its
+    prefetched batches for the life of the process."""
+    import threading
+    import time
+
+    before = threading.active_count()
+    ds = _IdxDataset()
+    dl = DataLoader(ds, batch_size=2, shuffle=False, seed=0, prefetch=2)
+    it = iter(dl)
+    next(it)
+    it.close()  # GeneratorExit -> finally: stop + drain + join
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+    # the loader remains reusable after an abandoned epoch
+    n = len(list(dl))
+    assert n == len(dl)

@@ -97,3 +97,38 @@ def test_tracked_metric_improvement_direction():
     m(action=far, sample=sample)
     improved, _ = m.summary()
     assert not improved
+
+
+def test_border_zero_keypoint_invalidates_sample():
+    """Reference validity is STRICTLY > 0 (metrics/__init__.py:113,119): a
+    GT keypoint on pixel row/column 0 invalidates the sample — it is
+    excluded from kp_mse and AP credits it only when the prediction is
+    predicted-invalid (negative pixel)."""
+    sample = {"pick": _pad([[[0, 50]], [[20, 20]]]),
+              "place": _pad([[[30, 30]], [[40, 40]]])}
+    action = Action(pick=np.array([[0.0, 50.0], [20.0, 20.0]]),
+                    place=np.array([[30.0, 30.0], [40.0, 40.0]]))
+    m = Metrics({"computed_metrics": ["kp_mse", "ap_5"],
+                 "tracked_metric": "kp_mse"})
+    m(action=action, sample=sample)
+    _, vals = m.summary()
+    # sample 0's pick (coordinate 0) is invalid: only 3 valid entries, all
+    # exact -> kp_mse 0; AP credits the 3 hits but NOT the invalid sample
+    # (prediction is non-negative, not "predicted invalid")
+    assert abs(vals["kp_mse"]) < 1e-6
+    assert abs(vals["ap_5"] - 75.0) < 1e-6
+
+
+def test_iou_empty_union_scores_zero():
+    """torchmetrics BinaryJaccardIndex returns 0 for 0/0 (tp+fp+fn == 0),
+    not 1 — an all-background prediction on an empty GT mask is not a
+    perfect score."""
+    sample = {"pick": _pad([[[10, 10]]]),
+              "mask": np.zeros((1, 1, 8, 8), np.float32)}
+    raw = {"mask_heatmap": np.zeros((1, 8, 8), np.float32)}
+    m = Metrics({"computed_metrics": ["iou"], "tracked_metric": "iou"})
+    m(action=Action(pick=np.array([[10.0, 10.0]]),
+                    place=np.array([[12.0, 12.0]])),
+      sample=sample, raw_output=raw)
+    _, vals = m.summary()
+    assert vals["iou"] == 0.0

@@ -100,3 +100,19 @@ def test_soft_argmax_peaks_at_argmax():
     hm[0, 11, 3] = 50.0
     px = np.asarray(soft_argmax(hm, temperature=0.1))[0]
     np.testing.assert_allclose(px, [3.0, 11.0], atol=1e-3)
+
+
+def test_nearest_to_mask_empty_mask_keeps_pixel():
+    """An all-False mask row falls back to the UNSNAPPED pixel — the old
+    argmin-of-constant behavior silently snapped to (0, 0), turning a
+    perception failure into a corner action; the reference's argwhere code
+    would crash instead. Mixed batches snap only the rows with mask."""
+    hm = np.zeros((2, 8, 8), np.float32)
+    hm[0, 5, 6] = 1.0
+    hm[1, 3, 2] = 1.0
+    mask = np.zeros((2, 8, 8), np.float32)
+    mask[1, 7, 7] = 1.0  # sample 1 snaps; sample 0 has no mask at all
+    px, conf = decode_heatmap(hm, mask, use_mask=True)
+    np.testing.assert_array_equal(np.asarray(px[0]), [6, 5])  # [x, y] kept
+    np.testing.assert_array_equal(np.asarray(px[1]), [7, 7])  # snapped
+    assert float(conf[0]) == 1.0  # confidence read at the kept argmax

@@ -177,3 +177,33 @@ def test_skip_nonfinite_guards_updates():
     up, state = tx.update(bad, state, params)
     up, state = tx.update(bad, state, params)
     assert not np.all(np.isfinite(np.asarray(up["w"])))
+
+
+def test_adam_weight_decay_is_coupled_like_torch():
+    """The reference's 'adam' is torch.optim.Adam: weight_decay is COUPLED
+    L2 (wd*p added to the grad BEFORE the moment updates), not AdamW's
+    decoupled decay. Golden comparison against torch over several steps."""
+    import torch
+
+    w0 = np.asarray([1.5, -2.0, 0.5], np.float32)
+    grads = [np.asarray(g, np.float32) for g in
+             ([0.3, -0.1, 0.2], [-0.2, 0.4, 0.0], [0.1, 0.1, -0.3])]
+    lr, wd = 1e-2, 0.1
+
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    opt = torch.optim.Adam([tw], lr=lr, weight_decay=wd)
+    for g in grads:
+        opt.zero_grad()
+        tw.grad = torch.tensor(g)
+        opt.step()
+
+    tx, _ = build_optimizer(
+        {"name": "adam", "lr": lr, "betas": [0.9, 0.999], "eps": 1e-8,
+         "weight_decay": wd}, None, max_iters=len(grads))
+    params = {"w": jnp.asarray(w0)}
+    st = tx.init(params)
+    for g in grads:
+        up, st = tx.update({"w": jnp.asarray(g)}, st, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, up)
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               tw.detach().numpy(), atol=1e-6)

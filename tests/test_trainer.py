@@ -228,17 +228,54 @@ def test_serving_depth_wire_f16_matches_f32(trained):
     assert float(np.abs(np.asarray(a16.pick, np.float64)
                         - np.asarray(a32.pick, np.float64)).max()) <= 1.0
 
-    # soft (anti-aliased) masks must round to nearest on the 1-byte wire,
-    # not floor: predict(soft) == predict(round(soft)) exactly
+    # SOFT (anti-aliased) masks survive the 255-quantized 1-byte wire: the
+    # one-dispatch program composites/masks depth with the same soft values
+    # the host Processor path sees (/255 values round-trip exactly). The
+    # earlier wire rounded soft masks to {0,1}, hard-edging the composite
+    # vs the host path.
     server = ServingModel.from_checkpoint(
         str(trainer.ckpt_dir / "last.ckpt"), cfg)
-    soft = np.where(mask > 0, 0.7, 0.2).astype(np.float32)
+    soft = np.where(mask > 0, np.float32(178 / 255),
+                    np.float32(51 / 255)).astype(np.float32)
+    # wire-level: /255 soft values round-trip EXACTLY through the uint8 pack
+    from bifold_tpu.serving import _pack_observation
+    flat, schema = _pack_observation({"mask": soft[None]}, False)
+    (name, off, shape), = [s for s in schema if s[0] == "mask"]
+    restored = flat[off:off + soft.size].reshape(shape).astype(np.float32) \
+        / np.float32(255.0)
+    np.testing.assert_array_equal(restored[0], soft)
+    # end-to-end: one-dispatch wire vs the host Processor path on the same
+    # soft mask (bf16 compute through differently-fused programs bounds the
+    # agreement, same 2e-3 scale as the f16-depth wire above — the OLD wire
+    # rounded soft masks to {0,1}, a semantic difference, not a rounding one)
     _, r_soft = server.predict(rgb=rgb, depth=depth, mask=soft,
                                instruction="fold", return_raw_output=True)
-    _, r_hard = server.predict(rgb=rgb, depth=depth, mask=np.round(soft),
+    _, r_host = server._predict_two_dispatch(rgb, depth, soft, "fold",
+                                             None, True)
+    np.testing.assert_allclose(np.asarray(r_soft["pick_heatmap"]),
+                               np.asarray(r_host["pick_heatmap"]), atol=2e-3)
+    # and a {0,1} mask still round-trips bit-exactly on the wire
+    _, r_bin = server.predict(rgb=rgb, depth=depth, mask=mask,
+                              instruction="fold", return_raw_output=True)
+    _, r_bin2 = server.predict(rgb=rgb, depth=depth,
+                               mask=mask.astype(np.float64),
                                instruction="fold", return_raw_output=True)
-    np.testing.assert_array_equal(np.asarray(r_soft["pick_heatmap"]),
-                                  np.asarray(r_hard["pick_heatmap"]))
+    np.testing.assert_array_equal(np.asarray(r_bin["pick_heatmap"]),
+                                  np.asarray(r_bin2["pick_heatmap"]))
+
+
+def test_profiler_short_epoch_and_log_every_zero(tmp_path):
+    """profile_steps larger than epoch 0 must still close the trace at
+    epoch-0 end instead of silently recording the whole run, and
+    log_every=0 (disable step logging) must not ZeroDivisionError."""
+    cfg = tiny_cfg(tmp_path, extra=("profile_steps=10000", "log_every=0",
+                                    "epochs=1", "eval_epochs=0"))
+    trainer = Trainer(Config(cfg), run_dir=tmp_path / "run")
+    trainer.prepare_train()
+    trainer.train()
+    assert trainer._profiling is False
+    prof_dir = tmp_path / "run" / "profile"
+    assert prof_dir.exists() and any(prof_dir.rglob("*"))
 
 
 def test_predict_batch_matches_predict(trained):
@@ -633,6 +670,15 @@ def test_quantize_weights_roundtrip_bound():
             "token_embedding": {"embedding": jnp.asarray(emb)},
             "pos_embedding": jnp.asarray(emb),
             "blocks": {"block": {"kernel": jnp.asarray(stacked)}},
+            # the CLIP towers' name (no "_" right after "position"):
+            "positional_embedding": jnp.asarray(emb),
+            # T5's vocab table path — only the nn.Embed leaf name says
+            # "embedding"; the module is called "shared":
+            "shared": {"embedding": jnp.asarray(emb)},
+            # a conv matmul weight under an *_embedding module name stays
+            # quantized (the leaf is "kernel", not "embedding"):
+            "patch_embedding": {"kernel": jnp.asarray(
+                rng.standard_normal((4, 4, 8, 32)).astype(np.float32))},
             "convtranspose_0": {"kernel": jnp.asarray(
                 rng.standard_normal((8, 8, 4, 16)).astype(np.float32))}}
     qt = quantize_weights(tree, min_size=1024)
@@ -642,9 +688,12 @@ def test_quantize_weights_roundtrip_bound():
     # in-program dequant would materialize the whole table per call)...
     assert qt["token_embedding"]["embedding"].dtype == jnp.float32
     assert qt["pos_embedding"].dtype == jnp.float32
+    assert qt["positional_embedding"].dtype == jnp.float32
+    assert qt["shared"]["embedding"].dtype == jnp.float32
     # ...but the exclusion is per path segment at word boundaries: the
     # "pos" inside "convtranspose" must NOT exclude a real matmul kernel
     assert qt["convtranspose_0"]["kernel"]["__int8_q__"].dtype == jnp.int8
+    assert qt["patch_embedding"]["kernel"]["__int8_q__"].dtype == jnp.int8
     # stacked kernels carry per-(layer, out-channel) scales
     assert qt["blocks"]["block"]["kernel"]["scale"].shape == (4, 1, 64)
     back = dequantize_weights(qt, jnp.float32)
@@ -947,6 +996,17 @@ def test_serve_daemon_mixed_shapes_and_parse():
                        for s in (96, 96, 128))
     assert k96 == k96b
     assert k96 != k128
+    # context FRAME layouts are part of the key, not just the count: same
+    # main camera + same frame count at a different ctx resolution would
+    # otherwise coalesce and stack-crash the whole group
+    def mk_ctx(s):
+        o = mk(96)
+        o["context"] = [dict(depth=rng.random((s, s)).astype(np.float32))]
+        return o
+    assert (_DynamicBatcher._compat_key(mk_ctx(96))
+            == _DynamicBatcher._compat_key(mk_ctx(96)))
+    assert (_DynamicBatcher._compat_key(mk_ctx(96))
+            != _DynamicBatcher._compat_key(mk_ctx(64)))
 
 
 def test_sigterm_preemption_graceful_checkpoint(tmp_path):
