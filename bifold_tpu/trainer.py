@@ -43,6 +43,14 @@ from bifold_tpu.utils.logging import Writer
 __all__ = ["Trainer", "seed_randomness", "split_batch"]
 
 
+@jax.jit
+def _stack_batches_on_device(*batches):
+    """Stack k device-resident processed batches along a new leading scan
+    axis in ONE compiled program (no host round-trip; see the fused-branch
+    comment in Trainer.train_epoch). Retraces once per (k, batch-shape)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+
+
 def seed_randomness(seed: int) -> jax.Array:
     """Seed python/numpy and return the root jax key
     (reference __main__.py:106-110 seeds random/np/torch/cuda)."""
@@ -515,10 +523,26 @@ class Trainer:
             host_batches = [split_batch(b)[0] for b in group]
             fused = len(group) == k_scan and k_scan > 1
             if fused:
-                # one host-side stack + ONE sharded transfer + ONE dispatch
-                # for k steps (make_scan_train_step)
-                stacked = jax.tree_util.tree_map(
-                    lambda *xs: np.stack(xs), *host_batches)
+                # ONE stack + ONE sharded placement + ONE dispatch for k
+                # steps (make_scan_train_step). The loader's jitted
+                # processor leaves batches ON DEVICE — when they are
+                # (single-process), stack there with one jitted program:
+                # np.stack would pull every processed batch back to host
+                # first, k downloads + a full re-upload per group, which on
+                # a tunneled runtime (~25 MB/s) costs seconds per dispatch
+                # and silently made the k=8 default ~8x SLOWER than k=1 in
+                # the real CLI loop (bench.py never exercises this path —
+                # it broadcasts one device batch). Multi-process feeding
+                # keeps the host path: make_array_from_process_local_data
+                # needs per-process host slices.
+                if jax.process_count() == 1 and all(
+                        isinstance(x, jax.Array)
+                        for hb in host_batches
+                        for x in jax.tree_util.tree_leaves(hb)):
+                    stacked = _stack_batches_on_device(*host_batches)
+                else:
+                    stacked = jax.tree_util.tree_map(
+                        lambda *xs: np.stack(xs), *host_batches)
                 device_batch = parallel.shard_batch(self.mesh, stacked,
                                                     stacked=True)
             else:
